@@ -1,0 +1,103 @@
+"""Text/string column functions — all native Spark SQL expressions
+(JVM-side, whole-stage codegen'd); no Python in the hot path.
+
+Normalization is the distributed analog of the reference's canonical-form
+value object (GenomeVariant.convertToMinimalRepresentation(), used at
+VariantDatabase.java:204,211,218) and the canonical key format
+"<contig>:<pos><ref>><alt>" (VariantDatabase.java:331-334): a deterministic
+pure function from surface form to MERGE key.
+
+MinHash here is built from ``md5`` hex strings compared lexicographically:
+min(md5(seed || shingle)) is a valid min-wise hash per seed, and — key design
+point — ``md5`` produces identical lowercase hex in Spark and DuckDB, so the
+LSH pipeline is oracle-checkable end-to-end in plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NULL_SENTINELS = (".", "")
+
+
+def nullify_sentinels(col: Column) -> Column:
+    """'.' / empty / whitespace-only -> NULL (reference null-sentinel skip,
+    VariantDatabase.java:339,490,497-499,511-518)."""
+    # regexp trim, not F.trim: trim() strips only ASCII spaces, but the
+    # sentinel test must agree with Python's str.strip() (tabs, newlines)
+    t = F.regexp_replace(col, r"^\s+|\s+$", "")
+    return F.when(t.isin(*NULL_SENTINELS), F.lit(None).cast("string")).otherwise(t)
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, strip punctuation to spaces, collapse whitespace, trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}]+", " ")
+    return F.trim(c)
+
+
+def norm_key(col: Column) -> Column:
+    """The exact-match MERGE key for a mention surface form (reference
+    Neo4j.java:160-173 matchOrCreateUniqueNode, generalized)."""
+    return normalize_text(col)
+
+
+def token_shingles(col: Column) -> Column:
+    """Distinct word tokens of a normalized string -> array<string>."""
+    return F.array_distinct(F.split(normalize_text(col), " "))
+
+
+def char_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct character k-grams of the normalized string -> array<string>.
+
+    Built with a SQL sequence + transform (no UDF): shingle i = substr(s,i,k).
+    """
+    s = normalize_text(col)
+    n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, k)))
+
+
+def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
+    """array<string> shingles -> array<string> of ``num_perm`` min-hashes.
+
+    Hash family: md5(seed || ':' || shingle), minimum taken lexicographically
+    over the hex string. Deterministic, identical in DuckDB
+    (``min(md5(seed || ':' || shingle))``).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)),
+                )
+            )
+            for s in range(num_perm)
+        ]
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Signature -> array<string> of band keys: band_id || md5(concat of the
+    band's row hashes). Two strings collide on a band iff all ``rows_per_band``
+    min-hashes in that band are equal."""
+    keys = []
+    for b in range(bands):
+        parts = [
+            F.element_at(signature, b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        keys.append(F.concat(F.lit(f"{b}|"), F.md5(F.concat_ws("|", *parts))))
+    return F.array(*keys)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (candidate verification —
+    native array ops, no UDF)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )

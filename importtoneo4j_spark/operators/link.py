@@ -1,0 +1,156 @@
+"""Entity linking: normalization + explicit same_as evidence + MinHash-LSH
+candidate blocking + native-SQL verification.
+
+The reference's node identity is exact-string MERGE on a natural key
+(Neo4j.java:160-173). The north rule generalizes that to fuzzy linking:
+* tier 1 — exact match on the normalized surface (norm_key): catches case /
+  punctuation variants for free; this IS the reference semantics.
+* tier 2 — explicit same_as assertions extracted from the text ("aka").
+* tier 3 — MinHash-LSH over character 3-gram shingles of the *distinct*
+  norm_key vocabulary (linking runs on vocabulary, never on mentions — at
+  10^12 turns the vocabulary is orders of magnitude smaller), banded
+  self-equi-join on (band_key), then exact-Jaccard verification with native
+  array ops. Hot buckets are capped (skew mitigation — SURVEY.md §7 hard
+  part 3) and the dropped count is observable.
+
+Everything here is native Spark SQL expressions; the only shuffle-heavy op
+is the band self-join, which joins on a derived high-entropy key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from importtoneo4j_spark.functions.text import (
+    char_shingles,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    norm_key,
+    token_shingles,
+)
+
+NUM_PERM = 32
+BANDS = 16
+ROWS_PER_BAND = 2
+SHINGLE_K = 4  # char 4-grams for LSH *blocking* (recall: P(candidate) > 0.99
+# down to char-Jaccard ~0.55, which covers every true alias variant)
+JACCARD_THRESHOLD = 0.60  # verification on *token* Jaccard: a suffix-extended
+# alias of an n-token name scores n/(n+1) >= 2/3, while two distinct entities
+# share at most one content token (<= 1/2) — char-gram verification is
+# fragile here (1-char-apart names like "meta/beta systems" score 0.8)
+MAX_BUCKET = 64  # cap candidates per LSH bucket (hot-key guard)
+
+
+def mention_vocabulary(extracted: DataFrame) -> DataFrame:
+    """Distinct (surface, norm_key) over both mention positions.
+
+    The union of branch DataFrames mirrors the reference's branch merge
+    (VariantDatabase.java:201-221 hom/het branches -> one upsert path).
+    """
+    subj = extracted.select(F.col("subj_surface").alias("surface"))
+    obj = extracted.select(F.col("obj_surface").alias("surface"))
+    return (
+        subj.unionByName(obj)
+        .distinct()
+        .withColumn("norm_key", norm_key(F.col("surface")))
+        .filter(F.col("norm_key") != "")
+    )
+
+
+def same_as_edges(extracted: DataFrame) -> DataFrame:
+    """Explicit same_as evidence -> (src, dst) on norm_keys."""
+    return (
+        extracted.filter(F.col("kind") == "same_as")
+        .select(
+            norm_key(F.col("subj_surface")).alias("src"),
+            norm_key(F.col("obj_surface")).alias("dst"),
+        )
+        .filter((F.col("src") != "") & (F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+def lsh_candidate_edges(
+    vocab: DataFrame,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Distinct norm_keys -> verified similarity edges (src < dst).
+
+    shingle -> minhash signature -> band keys -> explode -> self-equi-join on
+    band key -> distinct pair -> exact-Jaccard verify (native array ops).
+    """
+    keys = (
+        vocab.select("norm_key")
+        .distinct()
+        .withColumn("shingles", char_shingles(F.col("norm_key"), SHINGLE_K))
+        .withColumn("tokens", token_shingles(F.col("norm_key")))
+        .filter(F.size("shingles") > 0)
+    )
+    sig = keys.withColumn(
+        "band_key",
+        F.explode(lsh_band_keys(minhash_signature(F.col("shingles"), num_perm), bands, rows_per_band)),
+    ).select("norm_key", "band_key")
+
+    # hot-bucket cap: a bucket with B members yields B^2 candidate pairs; cap
+    # keeps worst-case blocking cost bounded (dropped buckets are countable
+    # via lsh_dropped_buckets below)
+    bucket_sizes = sig.groupBy("band_key").agg(F.count("*").alias("bsz"))
+    capped = sig.join(
+        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band_key"),
+        "band_key",
+    )
+
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(b, on="band_key")
+        .filter(F.col("a.norm_key") < F.col("b.norm_key"))
+        .select(F.col("a.norm_key").alias("src"), F.col("b.norm_key").alias("dst"))
+        .distinct()
+    )
+    verified = (
+        pairs.join(
+            keys.select(F.col("norm_key").alias("src"), F.col("tokens").alias("tok_a")),
+            "src",
+        )
+        .join(
+            keys.select(F.col("norm_key").alias("dst"), F.col("tokens").alias("tok_b")),
+            "dst",
+        )
+        .withColumn("sim", jaccard(F.col("tok_a"), F.col("tok_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("src", "dst")
+    )
+    return verified
+
+
+def lsh_dropped_buckets(vocab: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Observability: which LSH buckets were skipped by the hot-key cap."""
+    keys = (
+        vocab.select("norm_key")
+        .distinct()
+        .withColumn("shingles", char_shingles(F.col("norm_key"), SHINGLE_K))
+        .filter(F.size("shingles") > 0)
+    )
+    sig = keys.withColumn(
+        "band_key",
+        F.explode(
+            lsh_band_keys(minhash_signature(F.col("shingles"), NUM_PERM), BANDS, ROWS_PER_BAND)
+        ),
+    )
+    return (
+        sig.groupBy("band_key").agg(F.count("*").alias("bsz")).filter(F.col("bsz") > max_bucket)
+    )
+
+
+def link_edges(extracted: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
+    """All linking evidence as one (src, dst) edge set on norm_keys."""
+    if vocab is None:
+        vocab = mention_vocabulary(extracted)
+    return same_as_edges(extracted).unionByName(lsh_candidate_edges(vocab)).distinct()

@@ -1,0 +1,179 @@
+"""Graph materialization: canonical triples + nodes + per-partition lineage.
+
+Replaces the reference's per-call-transaction graph sink (Neo4j.addNode
+Neo4j.java:96-115, createRelationship :190-211 with the hasRelationship
+existence guard :192-194,212-229) with set-oriented writes:
+
+* triples — canonical (subj, pred, obj) unique after first-wins dedup; the
+  earliest (conv_id, turn_idx) attribution and its quality survive, matching
+  the reference's first-writer-wins and edge-uniqueness semantics.
+* nodes   — one row per canonical entity; canonical_surface = first surface
+  form seen in stream order; labels = set-union of classification rules.
+* lineage — per-partition row counts + order-insensitive checksum
+  (bit_xor of row hashes), generalizing the new-variants delta sink
+  (VariantDatabase.java:235-263) into an auditable manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from importtoneo4j_spark.operators.merge import first_wins, label_union
+
+
+def canonical_triples(extracted: DataFrame, links: DataFrame) -> DataFrame:
+    """extracted assertions + (surface -> canonical_id) links -> triples.
+
+    Two broadcast-or-shuffle equi-joins map both mention positions to
+    canonical ids (the links table is the small vocabulary side — broadcast
+    at any realistic scale); then a salted first-wins dedup on
+    (subj, pred, obj) keeps the earliest attribution.
+    """
+    l_subj = links.select(
+        F.col("surface").alias("subj_surface"), F.col("canonical_id").alias("subj")
+    )
+    l_obj = links.select(
+        F.col("surface").alias("obj_surface"), F.col("canonical_id").alias("obj")
+    )
+    mapped = (
+        extracted.filter(F.col("kind") == "triple")
+        .join(F.broadcast(l_subj), "subj_surface")
+        .join(F.broadcast(l_obj), "obj_surface")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "conv_id",
+            "turn_idx",
+            F.col("quality").cast("float").alias("quality"),
+            "role",
+        )
+    )
+    deduped = first_wins(
+        mapped,
+        keys=["subj", "pred", "obj"],
+        order_by=["conv_id", "turn_idx"],
+        payload=["quality", "role"],
+    )
+    return deduped.select(
+        "subj",
+        "pred",
+        "obj",
+        "conv_id",
+        "turn_idx",
+        "quality",
+        F.create_map(F.lit("source_role"), F.col("role")).alias("properties"),
+    )
+
+
+def canonical_nodes(extracted: DataFrame, links: DataFrame) -> DataFrame:
+    """Canonical entity nodes with first-wins surface + label set-union.
+
+    Labels classify by mention position and role — the analog of the
+    reference's chromosome/Snp/Indel label rules
+    (VariantDatabase.java:296-305), a total classification (no crashing MT
+    branch — SURVEY.md §2.8 C9 quirk intentionally not replicated).
+    """
+    subj = extracted.filter(F.col("kind") == "triple").select(
+        F.col("subj_surface").alias("surface"),
+        "conv_id",
+        "turn_idx",
+        F.lit("Subject").alias("pos_label"),
+        "role",
+    )
+    obj = extracted.filter(F.col("kind") == "triple").select(
+        F.col("obj_surface").alias("surface"),
+        "conv_id",
+        "turn_idx",
+        F.lit("Object").alias("pos_label"),
+        "role",
+    )
+    mentions = subj.unionByName(obj).join(F.broadcast(links), "surface")
+
+    firsts = first_wins(
+        mentions,
+        keys=["canonical_id"],
+        order_by=["conv_id", "turn_idx", "surface"],
+        payload=[],
+    ).select(
+        F.col("canonical_id"),
+        F.col("conv_id").alias("first_conv_id"),
+        F.col("turn_idx").alias("first_turn_idx"),
+        F.col("surface").alias("canonical_surface"),
+    )
+    pos_labels = mentions.select(
+        "canonical_id", F.col("pos_label").alias("label")
+    )
+    role_labels = mentions.select(
+        "canonical_id",
+        F.concat(F.lit("MENTIONED_BY_"), F.upper(F.col("role"))).alias("label"),
+    )
+    labels = label_union(
+        pos_labels.unionByName(role_labels), keys=["canonical_id"], label_col="label"
+    )
+    counts = mentions.groupBy("canonical_id").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("surface").alias("n_surfaces"),
+    )
+    return (
+        firsts.join(labels, "canonical_id")
+        .join(counts, "canonical_id")
+        .select(
+            F.col("canonical_id").alias("entity_id"),
+            "canonical_surface",
+            "labels",
+            F.create_map(
+                F.lit("first_conv_id"),
+                F.col("first_conv_id"),
+                F.lit("first_turn_idx"),
+                F.col("first_turn_idx").cast("string"),
+            ).alias("properties"),
+            "n_mentions",
+            "n_surfaces",
+        )
+    )
+
+
+def lineage_manifest(
+    df: DataFrame, run_id: str, stage: str, hash_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-partition lineage rows: (run_id, stage, partition_id, output_rows,
+    checksum). Checksum = bit_xor of xxhash64 over hash_cols — order- and
+    partitioning-insensitive when aggregated, so two runs at different
+    parallelism produce comparable manifests."""
+    cols = hash_cols or df.columns
+    hashed = df.select(
+        F.spark_partition_id().alias("partition_id"),
+        F.xxhash64(*[F.col(c).cast("string") for c in cols]).alias("h"),
+    )
+    return (
+        hashed.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("output_rows"),
+            F.expr("bit_xor(h)").cast("string").alias("checksum"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.col("partition_id").cast("int"),
+            F.lit(None).cast("long").alias("input_rows"),
+            "output_rows",
+            F.lit(None).cast("long").alias("rejected_rows"),
+            "checksum",
+        )
+    )
+
+
+def global_checksum(df: DataFrame, hash_cols: list[str] | None = None) -> str:
+    """Order-insensitive whole-table checksum (resume / idempotency tests)."""
+    cols = hash_cols or df.columns
+    row = df.select(
+        F.expr(
+            "bit_xor("
+            + f"xxhash64({', '.join(f'cast({c} as string)' for c in cols)})"
+            + ")"
+        ).alias("x"),
+        F.count("*").alias("n"),
+    ).first()
+    return f"{row['n']}:{row['x']}"

@@ -1,0 +1,84 @@
+"""Transcript source: read, validate, quarantine, stable ordering.
+
+Mirrors the reference's ingest discipline:
+* record filter F1 + warn-and-skip F3 (VariantDatabase.java:178,189-192):
+  invalid rows are split into a quarantine DataFrame with a reject_reason —
+  never silently dropped, never a crash.
+* fail-fast F4 (VariantDatabase.java:193-195): structural violations
+  (duplicate (conv_id, turn_idx)) raise in the driver.
+* stable per-conversation turn ordering (input_hint invariant): the
+  reference gets order for free from its sequential iterator
+  (VariantDatabase.java:174); we make it explicit with a window over
+  (conv_id, turn_idx) before any grouped extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from importtoneo4j_spark.functions.text import nullify_sentinels
+from importtoneo4j_spark.schemas import TRANSCRIPTS
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Read transcripts (Iceberg table name or parquet path) with the
+    authoritative schema enforced."""
+    if "/" not in path:  # catalog table name
+        df = spark.read.table(path)
+    else:
+        df = spark.read.schema(TRANSCRIPTS).parquet(path)
+    return df.select(
+        F.col("conv_id").cast("string"),
+        F.col("turn_idx").cast("int"),
+        F.col("role").cast("string"),
+        F.col("text").cast("string"),
+        F.col("tool").cast("string"),
+        F.col("ts").cast("timestamp"),
+    )
+
+
+def split_valid_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split into (valid, rejects-with-reason).
+
+    Reject reasons (warn-and-skip semantics, VariantDatabase.java:189-192):
+      null_conv_id, null_turn_idx, negative_turn_idx, null_or_sentinel_text.
+    """
+    reason = (
+        F.when(F.col("conv_id").isNull(), "null_conv_id")
+        .when(F.col("turn_idx").isNull(), "null_turn_idx")
+        .when(F.col("turn_idx") < 0, "negative_turn_idx")
+        .when(nullify_sentinels(F.col("text")).isNull(), "null_or_sentinel_text")
+    )
+    tagged = df.withColumn("reject_reason", reason)
+    valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    rejects = tagged.filter(F.col("reject_reason").isNotNull()).select(
+        "conv_id", "turn_idx", "reject_reason"
+    )
+    return valid, rejects
+
+
+def assert_unique_turns(df: DataFrame) -> None:
+    """Fail-fast structural check: (conv_id, turn_idx) must be unique —
+    the analog of the reference's uniqueness-constraint abort
+    (Main.java:73-76, Neo4j.java:163-167)."""
+    dupes = (
+        df.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).limit(1)
+    )
+    if dupes.count() > 0:
+        row = dupes.first()
+        raise ValueError(
+            f"duplicate (conv_id, turn_idx): ({row['conv_id']}, {row['turn_idx']})"
+        )
+
+
+def with_stable_order(df: DataFrame) -> DataFrame:
+    """Attach a global per-conversation sequence number.
+
+    row_number over (conv_id ORDER BY turn_idx, ts) — the explicit form of
+    the reference's input-order dependence. Downstream first-wins merges
+    order by this column, which is what makes them deterministic under
+    parallelism (SURVEY.md §7 hard part 1).
+    """
+    w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc(), F.col("ts").asc())
+    return df.withColumn("seq", F.row_number().over(w))

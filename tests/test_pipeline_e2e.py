@@ -1,0 +1,113 @@
+"""End-to-end KG pipeline vs the pure-Python reference-semantics oracle.
+
+The headline correctness gate: triple-set precision & recall >= 0.95
+(BASELINE.json metric; target 1.0 at small scale), plus the per-turn
+text-equality invariant under stable ordering (input_hint)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from importtoneo4j_spark.oracle import Oracle, precision_recall
+from importtoneo4j_spark.plans.pipeline import KGPipeline
+from importtoneo4j_spark.sources.transcripts import read_transcripts, with_stable_order
+
+
+@pytest.fixture(scope="module")
+def run(spark, gen, small_transcripts_path, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("work") / "kg")
+    pipe = KGPipeline(spark, small_transcripts_path, work, run_id="run-001")
+    metrics = pipe.run()
+    return pipe, metrics
+
+
+@pytest.fixture(scope="module")
+def oracle(gen, small_transcripts_pdf):
+    return Oracle(small_transcripts_pdf, gen.alias_truth())
+
+
+def test_pipeline_produces_triples(run):
+    pipe, metrics = run
+    assert metrics["materialize"]["triples"] > 0
+    assert metrics["materialize"]["nodes"] > 0
+
+
+def test_triple_precision_recall(run, oracle):
+    pipe, _ = run
+    engine = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in pipe.triples().select("subj", "pred", "obj").collect()
+    }
+    p, r = precision_recall(engine, oracle.triple_set())
+    assert p >= 0.95, f"precision {p:.4f} < 0.95"
+    assert r >= 0.95, f"recall {r:.4f} < 0.95"
+
+
+def test_first_wins_attribution(run, oracle):
+    """Earliest (conv_id, turn_idx) wins for every shared triple —
+    reference Neo4j.java:230-242 first-writer-wins."""
+    pipe, _ = run
+    engine = {
+        (r["subj"], r["pred"], r["obj"]): (r["conv_id"], r["turn_idx"], r["quality"])
+        for r in pipe.triples().collect()
+    }
+    mismatches = 0
+    shared = 0
+    for key, (c, t, q) in oracle.triples.items():
+        if key in engine:
+            shared += 1
+            ec, et, eq = engine[key]
+            if (ec, et) != (c, t) or abs(eq - q) > 1e-6:
+                mismatches += 1
+    assert shared > 0
+    assert mismatches == 0, f"{mismatches}/{shared} attribution mismatches"
+
+
+def test_rejects_match_oracle(run, oracle):
+    pipe, _ = run
+    engine_rejects = {
+        (r["conv_id"], r["turn_idx"], r["reject_reason"])
+        for r in pipe.rejects().collect()
+    }
+    assert engine_rejects == set(oracle.rejects)
+
+
+def test_turn_order_text_invariant(spark, small_transcripts_path, small_transcripts_pdf):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering:
+    the round-trip through Spark must not reorder or mutate text."""
+    df = with_stable_order(read_transcripts(spark, small_transcripts_path))
+    got = (
+        df.select("conv_id", "turn_idx", "text", "seq")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = small_transcripts_pdf.sort_values(
+        ["conv_id", "turn_idx"], kind="stable"
+    ).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["text"].astype(str) == want["text"].astype(str)).all()
+    # seq is 1..n contiguous per conversation
+    per_conv = got.groupby("conv_id")["seq"]
+    assert (per_conv.min() == 1).all()
+    assert (per_conv.max() == per_conv.count()).all()
+
+
+def test_idempotent_rerun(run, spark, small_transcripts_path):
+    """Same run_id twice -> no-op (Main.java:73-76 exactly-once)."""
+    pipe, _ = run
+    before = pipe.store.read_marker("materialize")["checksum"]
+    pipe2 = KGPipeline(
+        spark, small_transcripts_path, pipe.workdir, run_id="run-001"
+    )
+    m2 = pipe2.run()
+    assert m2.get("skipped") is True
+    assert pipe2.store.read_marker("materialize")["checksum"] == before
+
+
+def test_lineage_manifest(run):
+    pipe, metrics = run
+    lin = pipe.lineage().toPandas()
+    assert (lin["stage"] == "materialize").all()
+    assert lin["output_rows"].sum() == metrics["materialize"]["triples"]
