@@ -1,38 +1,838 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2) over the
+driver's parquet tables; ``oracle_sql()`` carries the DuckDB-equivalent SQL.
+Column names AND value rounding are aligned pairwise. KG-pipeline-specific
+parity (extraction/linking/canonicalization on transcripts) is covered by
+``tests/`` against the pure-Python oracle; here the same operators are
+exercised on the TPC-H-ish tables so the DuckDB gate can score them.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+# --------------------------------------------------------------------------
+# flagship: graph materialization over relational input — build canonical
+# (subj, pred, obj) triples with a data-derived predicate vocabulary,
+# first-wins-style earliest attribution and aggregated edge weight.
+# Reference semantics: dynamic rel types (VariantDatabase.java:463,476) +
+# edge dedup (Neo4j.java:192-194) + first-wins (Neo4j.java:230-242).
+# --------------------------------------------------------------------------
+
+def kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load(spark, sf_dir, "customer", "orders", "lineitem", "part")
+    triples = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("c_name").alias("subj"),
+            F.concat(F.lit("ORDERED_"), F.upper(F.col("l_returnflag"))).alias("pred"),
+            F.col("p_name").alias("obj"),
+            F.col("o_orderdate"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("o_orderdate").alias("first_seen"),
+            F.count("*").alias("n_facts"),
+            F.round(F.sum("rev"), 4).alias("revenue"),
+        )
+    )
+
+
+def _sql_kg_flagship() -> str:
+    return """
+    SELECT c_name AS subj,
+           'ORDERED_' || upper(l_returnflag) AS pred,
+           p_name AS obj,
+           min(o_orderdate) AS first_seen,
+           count(*) AS n_facts,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part     ON l_partkey = p_partkey
+    GROUP BY 1, 2, 3
+    """
+
+
+# --------------------------------------------------------------------- TPC-H
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _sql_q1() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def _sql_q3() -> str:
+    return """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY 1, 2, 3
+    """
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _sql_q5() -> str:
+    return """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter + agg — exercises predicate pushdown into the parquet scan
+    (reference early-filter F1, VariantDatabase.java:178)."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _sql_q6() -> str:
+    return """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """
+
+
+# ------------------------------------------------------- operator inventory
+
+def c2_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite natural-key construction (VariantDatabase.java:140)."""
+    o = _load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.withColumn(
+            "analysis_key",
+            F.concat_ws("_", F.col("o_orderstatus"), F.col("o_orderpriority")),
+        )
+        .groupBy("analysis_key")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+def _sql_c2() -> str:
+    return """
+    SELECT o_orderstatus || '_' || o_orderpriority AS analysis_key,
+           count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY 1
+    """
+
+
+def c8_dynamic_rel_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic relationship types from data (VariantDatabase.java:463,476):
+    rel_type stays a column, never N DataFrames."""
+    e = _load(spark, sf_dir, "events")["events"]
+    return (
+        e.withColumn(
+            "rel_type",
+            F.concat(F.lit("HAS_"), F.upper(F.col("event_type")), F.lit("_EVENT")),
+        )
+        .groupBy("rel_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def _sql_c8() -> str:
+    return """
+    SELECT 'HAS_' || upper(event_type) || '_EVENT' AS rel_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1
+    """
+
+
+def c9_total_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total classification with an 'other' bucket — the fixed version of the
+    reference's crashing MT branch (VariantDatabase.java:296-302)."""
+    e = _load(spark, sf_dir, "events")["events"]
+    bucket = (
+        F.when(F.col("value").isNull(), "other")
+        .when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    return e.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+def _sql_c9() -> str:
+    return """
+    SELECT CASE WHEN value IS NULL THEN 'other'
+                WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """
+
+
+def j3_edge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-uniqueness guard (Neo4j.java:192-194): distinct (src,dst) pairs."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.select("l_suppkey", "l_orderkey")
+        .dropDuplicates(["l_suppkey", "l_orderkey"])
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_distinct_orders"))
+    )
+
+
+def _sql_j3() -> str:
+    return """
+    SELECT l_suppkey, count(*) AS n_distinct_orders
+    FROM (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem)
+    GROUP BY 1
+    """
+
+
+def j7_first_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-writer-wins MERGE (Neo4j.java:230-242) via the engine's salted
+    two-phase min-struct operator."""
+    from importtoneo4j_spark.operators.merge import first_wins
+
+    e = _load(spark, sf_dir, "events")["events"]
+    won = first_wins(
+        e,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        payload=["event_type", "value"],
+    )
+    return won.select(
+        "user_id",
+        F.col("event_type").alias("first_event_type"),
+        F.round(F.col("value"), 4).alias("first_value"),
+    )
+
+
+def _sql_j7() -> str:
+    return """
+    SELECT user_id, event_type AS first_event_type,
+           round(value, 4) AS first_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """
+
+
+def a3_label_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label set-union (Neo4j.java:243-253) via the engine's two-phase
+    collect_set; sorted + joined for a deterministic comparable value."""
+    from importtoneo4j_spark.operators.merge import label_union
+
+    e = _load(spark, sf_dir, "events")["events"]
+    lbl = label_union(e, keys=["user_id"], label_col="event_type")
+    return lbl.select("user_id", F.array_join("labels", ",").alias("labels"))
+
+
+def _sql_a3() -> str:
+    return """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS labels
+    FROM events GROUP BY 1
+    """
+
+
+def a6_guarded_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived aggregate with a guard (AF = AC/AN if AN > threshold,
+    VariantDatabase.java:497-501)."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("sum_qty"), 4).alias("sum_qty"),
+            F.round(
+                F.when(F.col("sum_qty") > 50, F.col("sum_price") / F.col("sum_qty")),
+                4,
+            ).alias("price_per_unit"),
+        )
+    )
+
+
+def _sql_a6() -> str:
+    return """
+    SELECT l_partkey, round(sum_qty, 4) AS sum_qty,
+           round(CASE WHEN sum_qty > 50 THEN sum_price / sum_qty END, 4)
+             AS price_per_unit
+    FROM (SELECT l_partkey, sum(l_quantity) sum_qty,
+                 sum(l_extendedprice) sum_price
+          FROM lineitem GROUP BY 1)
+    """
+
+
+def u2_anti_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-minus-existing delta (VariantDatabase.java:235-263) as left_anti:
+    customers that never ordered."""
+    t = _load(spark, sf_dir, "customer", "orders")
+    no_orders = t["customer"].join(
+        t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    return no_orders.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+
+
+def _sql_u2() -> str:
+    return """
+    SELECT c_nationkey, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """
+
+
+def u3_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch union (VariantDatabase.java:201-221 genotype branches)."""
+    o = _load(spark, sf_dir, "orders")["orders"]
+    b1 = o.filter(F.col("o_orderstatus") == "F")
+    b2 = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        b1.unionByName(b2)
+        .dropDuplicates(["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_u3() -> str:
+    return """
+    SELECT o_orderstatus, count(*) AS n
+    FROM (SELECT DISTINCT ON (o_orderkey) *
+          FROM (SELECT * FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
+          ORDER BY o_orderkey)
+    GROUP BY 1
+    """
+
+
+def w1_stable_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable per-key ordering window (the turn-ordering invariant,
+    BASELINE.json input_hint): first 3 events per user."""
+    e = _load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def _sql_w1() -> str:
+    return """
+    SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn
+    FROM (SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn <= 3
+    """
+
+
+def w2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative sum over the stable
+    window) — the batch analog of a streaming session window."""
+    e = _load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> LTZ is
+    # identity under the UTC session timezone pinned in session.py
+    gap = epoch - F.lag(epoch).over(w)
+    sess = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _sql_w2() -> str:
+    return """
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM (SELECT user_id,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events)
+    GROUP BY 1
+    """
+
+
+# -------------------------------------------------- text analysis (documents)
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")["documents"]
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+def _sql_text_tokens() -> str:
+    return r"""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4)
+             AS avg_tokens,
+           round(avg(length(text)), 4) AS avg_chars
+    FROM documents GROUP BY 1
+    """
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count + stopword ratio + a quality band."""
+    d = _load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    ratio = F.round(n_stop.cast("double") / n_toks, 4)
+    band = (
+        F.when(n_toks < 40, "short")
+        .when(ratio > 0.15, "stopword_heavy")
+        .otherwise("ok")
+    )
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        ratio.alias("stop_ratio"),
+        band.alias("quality_band"),
+    )
+
+
+def _sql_text_quality() -> str:
+    return r"""
+    SELECT doc_id, len(toks) AS n_tokens,
+           round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0
+                 / len(toks), 4) AS stop_ratio,
+           CASE WHEN len(toks) < 40 THEN 'short'
+                WHEN len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0
+                     / len(toks) > 0.15 THEN 'stopword_heavy'
+                ELSE 'ok' END AS quality_band
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)
+    """
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text (md5 is identical
+    in Spark and DuckDB — also the basis of the MinHash oracle)."""
+    d = _load(spark, sf_dir, "documents")["documents"]
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select("source", F.md5(norm).alias("fp")).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique_fp"),
+    )
+
+
+def _sql_text_fp() -> str:
+    return r"""
+    SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique_fp
+    FROM (SELECT source,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents)
+    GROUP BY 1
+    """
+
+
+# ------------------------------------------------------- dedup (documents)
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keep-min-doc_id semantics."""
+    d = _load(spark, sf_dir, "documents")["documents"]
+    hashed = d.select(F.md5("text").alias("h"), "doc_id")
+    kept = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.countDistinct("h").alias("n_unique"),
+    )
+
+
+def _sql_dedup_exact() -> str:
+    return """
+    SELECT count(*) AS n_kept, count(DISTINCT h) AS n_unique
+    FROM (SELECT md5(text) AS h, min(doc_id) AS keep_id
+          FROM documents GROUP BY 1)
+    """
+
+
+def _doc_shingles(d: DataFrame, n: int = 5):
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+    return d.filter(F.size(toks) >= n).select("doc_id", sh.alias("shingles"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact token-5-gram Jaccard >= 0.5 via inverted-index
+    self-join (shingle explode -> equi-join -> pair agg)."""
+    d = _load(spark, sf_dir, "documents")["documents"]
+    sh = _doc_shingles(d).withColumn("n_sh", F.size("shingles"))
+    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, on="s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jac") >= 0.5)
+        .select("a_id", "b_id", "jac")
+    )
+    return pairs
+
+
+def _sql_dedup_ngram() -> str:
+    return r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+4], ' ')
+                            for i in range(1, len(toks) - 3)]) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 5
+    ), inv AS (
+      SELECT doc_id, len(s) AS n_sh, unnest(s) AS sg FROM sh
+    ), pairs AS (
+      SELECT a.doc_id a_id, b.doc_id b_id, a.n_sh na, b.n_sh nb,
+             count(*) AS common
+      FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT a_id, b_id,
+           round(common * 1.0 / (na + nb - common), 4) AS jac
+    FROM pairs
+    WHERE common * 1.0 / (na + nb - common) >= 0.5
+    """
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, verified by exact Jaccard >= 0.5 —
+    the scale path (inverted-index join is quadratic in bucket size; LSH
+    bounds bucket entropy). md5-based minhash keeps it oracle-identical."""
+    from importtoneo4j_spark.functions.text import jaccard, lsh_band_keys, minhash_signature
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    sh = _doc_shingles(d)
+    sig = sh.withColumn(
+        "band_key",
+        F.explode(lsh_band_keys(minhash_signature(F.col("shingles"), 16), 8, 2)),
+    ).select("doc_id", "band_key")
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa")), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb")), "b_id")
+        .withColumn("jac", F.round(jaccard(F.col("sa"), F.col("sb")), 4))
+        .filter(F.col("jac") >= 0.5)
+        .select("a_id", "b_id", "jac")
+    )
+    return verified
+
+
+def _sql_dedup_minhash() -> str:
+    perms = 16
+    bands, rows = 8, 2
+    mh = ", ".join(
+        f"list_min([md5('{p}:' || u) for u in s]) AS m{p}" for p in range(perms)
+    )
+    band_keys = ", ".join(
+        f"'{b}|' || md5(m{b * rows} || '|' || m{b * rows + 1})" for b in range(bands)
+    )
+    return rf"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+4], ' ')
+                            for i in range(1, len(toks) - 3)]) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 5
+    ), mh AS (
+      SELECT doc_id, s, {mh} FROM sh
+    ), bands AS (
+      SELECT doc_id, unnest([{band_keys}]) AS band_key FROM mh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           round(len(list_intersect(sa.s, sb.s)) * 1.0
+                 / len(list_distinct(sa.s || sb.s)), 4) AS jac
+    FROM cand
+    JOIN sh sa ON a_id = sa.doc_id
+    JOIN sh sb ON b_id = sb.doc_id
+    WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+          / len(list_distinct(sa.s || sb.s)) >= 0.5
+    """
+
+
+# -------------------------------------------- similarity search (embeddings)
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a fixed query set — the correctness
+    baseline for ANN. Dot/norm in double via zip_with + aggregate (native
+    higher-order functions, no UDF)."""
+    e = _load(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = q.crossJoin(e.select("vec_id", "embedding")).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    sims = pairs.select(
+        "qid",
+        "vec_id",
+        (
+            dot(F.col("qe"), F.col("embedding"))
+            / (
+                F.sqrt(dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+            )
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+def _sql_ann_topk() -> str:
+    return """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 5),
+    sims AS (
+      SELECT qid, vec_id,
+             list_sum([qe[i]::DOUBLE * embedding[i]::DOUBLE
+                       for i in generate_series(1, len(qe))])
+             / (sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+                               for i in generate_series(1, len(qe))]))
+                * sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                                 for i in generate_series(1, len(embedding))])))
+             AS sim
+      FROM q, embeddings WHERE vec_id != qid
+    )
+    SELECT qid, vec_id, round(sim, 4) AS sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY sim DESC, vec_id) AS rank
+          FROM sims)
+    WHERE rank <= 5
+    """
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return kg_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_flagship": kg_flagship,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_unshipped_revenue": q3_unshipped_revenue,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "c2_composite_key": c2_composite_key,
+        "c8_dynamic_rel_type": c8_dynamic_rel_type,
+        "c9_total_classification": c9_total_classification,
+        "j3_edge_dedup": j3_edge_dedup,
+        "j7_first_wins_merge": j7_first_wins_merge,
+        "a3_label_union": a3_label_union,
+        "a6_guarded_ratio": a6_guarded_ratio,
+        "u2_anti_join_delta": u2_anti_join_delta,
+        "u3_union_branches": u3_union_branches,
+        "w1_stable_order_topk": w1_stable_order_topk,
+        "w2_sessionize": w2_sessionize,
+        "text_token_stats": text_token_stats,
+        "text_quality_score": text_quality_score,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "ann_cosine_topk": ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_flagship": _sql_kg_flagship(),
+        "q1_pricing_summary": _sql_q1(),
+        "q3_unshipped_revenue": _sql_q3(),
+        "q5_nation_revenue": _sql_q5(),
+        "q6_forecast_revenue": _sql_q6(),
+        "c2_composite_key": _sql_c2(),
+        "c8_dynamic_rel_type": _sql_c8(),
+        "c9_total_classification": _sql_c9(),
+        "j3_edge_dedup": _sql_j3(),
+        "j7_first_wins_merge": _sql_j7(),
+        "a3_label_union": _sql_a3(),
+        "a6_guarded_ratio": _sql_a6(),
+        "u2_anti_join_delta": _sql_u2(),
+        "u3_union_branches": _sql_u3(),
+        "w1_stable_order_topk": _sql_w1(),
+        "w2_sessionize": _sql_w2(),
+        "text_token_stats": _sql_text_tokens(),
+        "text_quality_score": _sql_text_quality(),
+        "text_fingerprint": _sql_text_fp(),
+        "dedup_exact": _sql_dedup_exact(),
+        "dedup_ngram_jaccard": _sql_dedup_ngram(),
+        "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "ann_cosine_topk": _sql_ann_topk(),
+    }

@@ -1,0 +1,122 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full KG pipeline
+on deterministic synthetic transcripts sized to the scale factor, and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query timing excludes the sink: results are written to the "noop" format so
+the measured cost is scan + shuffle + compute, not parquet encoding.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from importtoneo4j_spark.datagen import TranscriptGenerator
+from importtoneo4j_spark.plans.pipeline import KGPipeline
+from importtoneo4j_spark.session import get_spark
+
+HEADLINE = [
+    "kg_flagship",
+    "q1_pricing_summary",
+    "q3_unshipped_revenue",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "j7_first_wins_merge",
+    "w1_stable_order_topk",
+    "text_token_stats",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_convs_for_sf(sf: float) -> int:
+    # ~27.5 turns/conv; sf0.1 -> ~330k turns, sf0.01 -> ~33k
+    return max(200, int(120_000 * sf))
+
+
+def transcripts_path(n_convs: int) -> str:
+    path = os.path.join(REPO, ".bench_data", f"convs_{n_convs}")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        gen = TranscriptGenerator(seed=42, n_entities=1500)
+        gen.write_parquet(path, n_convs=n_convs)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_from_dir(sf_dir)
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT)
+        t0 = time.time()
+        df2 = queries[name](spark, sf_dir)
+        df2.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    # KG pipeline end-to-end on synthetic transcripts
+    n_convs = bench_convs_for_sf(sf)
+    data = transcripts_path(n_convs)
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="kg_bench_")
+    pipe = KGPipeline(spark, data, work, run_id="bench")
+    m = pipe.run(resume=False)
+    shutil.rmtree(work, ignore_errors=True)
+    kg_sec = round(m["wall_sec"], 3)
+    n_turns = m["ingest"]["valid"] + m["ingest"]["rejected"]
+    n_triples = m["materialize"]["triples"]
+    n_assertions = m["extract"]["assertions"]
+    timings["kg_pipeline"] = kg_sec
+    print(
+        f"[bench] kg_pipeline: {kg_sec}s turns={n_turns} "
+        f"assertions={n_assertions} triples={n_triples}",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_turns": n_turns,
+        "kg_triples": n_triples,
+        "kg_turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec else None,
+        "kg_assertions_per_sec": round(n_assertions / kg_sec, 1) if kg_sec else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

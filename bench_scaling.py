@@ -1,0 +1,81 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule).
+
+The rule requires >= 0.8 throughput scaling efficiency between N and 4N
+executor clusters; the sandbox stand-in is the same KG pipeline job on the
+same input at local[8] vs local[32] (one JVM, 8 vs 32 executor threads).
+efficiency = (throughput@32 / throughput@8) / 4.
+
+NOTE on interpretation: in local mode both runs share one driver JVM and one
+host's memory bandwidth, so this under-states true multi-executor scaling
+(no per-executor memory isolation, shuffle through local disk). The number
+is recorded in BASELINE.md alongside absolute throughput.
+
+Usage: python bench_scaling.py [n_convs]   (default sized for ~330k turns)
+Writes BENCH_SCALING.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from bench import transcripts_path
+from importtoneo4j_spark.plans.pipeline import KGPipeline
+from importtoneo4j_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_at(cores: int, data: str) -> dict:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(2)
+    spark = get_spark(f"scale{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    work = tempfile.mkdtemp(prefix=f"kg_scale{cores}_")
+    pipe = KGPipeline(spark, data, work, run_id=f"scale-{cores}")
+    m = pipe.run(resume=False)
+    checksum = m["materialize"]["checksum"]
+    shutil.rmtree(work, ignore_errors=True)
+    n_turns = m["ingest"]["valid"] + m["ingest"]["rejected"]
+    spark.stop()
+    time.sleep(2)
+    return {
+        "cores": cores,
+        "wall_sec": round(m["wall_sec"], 3),
+        "turns": n_turns,
+        "triples": m["materialize"]["triples"],
+        "turns_per_sec": round(n_turns / m["wall_sec"], 1),
+        "triples_per_sec": round(m["materialize"]["triples"] / m["wall_sec"], 1),
+        "checksum": checksum,
+    }
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 12_000
+    data = transcripts_path(n_convs)
+    lo = run_at(8, data)
+    hi = run_at(32, data)
+    eff = round((hi["turns_per_sec"] / lo["turns_per_sec"]) / 4, 4)
+    out = {
+        "n_convs": n_convs,
+        "local8": lo,
+        "local32": hi,
+        "scaling_efficiency": eff,
+        "result_identical": lo["checksum"] == hi["checksum"],
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
