@@ -650,14 +650,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified by exact Jaccard >= 0.5 —
     the scale path (inverted-index join is quadratic in bucket size; LSH
     bounds bucket entropy). md5-based minhash keeps it oracle-identical."""
-    from importtoneo4j_spark.functions.text import jaccard, lsh_band_keys, minhash_signature
+    from importtoneo4j_spark.functions.text import jaccard, minhash_bands_agg
 
     d = _load(spark, sf_dir, "documents")["documents"]
     sh = _doc_shingles(d)
-    sig = sh.withColumn(
-        "band_key",
-        F.explode(lsh_band_keys(minhash_signature(F.col("shingles"), 16), 8, 2)),
-    ).select("doc_id", "band_key")
+    sig = minhash_bands_agg(sh, "doc_id", "shingles", 16, 8, 2)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(b, "band_key")

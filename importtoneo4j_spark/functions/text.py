@@ -93,6 +93,49 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
+def minhash_bands_agg(
+    df,
+    id_col: str,
+    shingles_col: str,
+    num_perm: int = 32,
+    bands: int = 16,
+    rows_per_band: int = 2,
+):
+    """(id, shingles array) DataFrame -> (id, band_key) DataFrame.
+
+    Aggregation-based MinHash: explode shingles, compute ``num_perm`` md5
+    hashes per shingle row, take per-id minimums, derive band keys.
+
+    Why not a pure column expression: nesting the signature expression into
+    each band key duplicates the whole signature tree per band (16 bands x
+    16 perms = 256 array scans per row — measured ~8x slower). The explode +
+    groupBy form computes exactly one md5 per (shingle, perm) and the
+    partial aggregation (map-side min combine) keeps the shuffle tiny:
+    num_perm fixed-width hex strings per id.
+    """
+    from pyspark.sql import functions as F  # local to avoid cycle at import
+
+    ex = df.select(F.col(id_col), F.explode(F.col(shingles_col)).alias("_sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("_sh")))).alias(f"_m{p}")
+        for p in range(num_perm)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}|"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key"))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two string arrays (candidate verification —
     native array ops, no UDF)."""

@@ -25,8 +25,7 @@ from pyspark.sql import functions as F
 from importtoneo4j_spark.functions.text import (
     char_shingles,
     jaccard,
-    lsh_band_keys,
-    minhash_signature,
+    minhash_bands_agg,
     norm_key,
     token_shingles,
 )
@@ -91,11 +90,12 @@ def lsh_candidate_edges(
         .withColumn("shingles", char_shingles(F.col("norm_key"), SHINGLE_K))
         .withColumn("tokens", token_shingles(F.col("norm_key")))
         .filter(F.size("shingles") > 0)
+        .cache()  # vocabulary-sized (<< mentions); reused by the self-join
+        # aliases and the verification joins below
     )
-    sig = keys.withColumn(
-        "band_key",
-        F.explode(lsh_band_keys(minhash_signature(F.col("shingles"), num_perm), bands, rows_per_band)),
-    ).select("norm_key", "band_key")
+    sig = minhash_bands_agg(
+        keys, "norm_key", "shingles", num_perm, bands, rows_per_band
+    ).cache()
 
     # hot-bucket cap: a bucket with B members yields B^2 candidate pairs; cap
     # keeps worst-case blocking cost bounded (dropped buckets are countable
@@ -138,12 +138,7 @@ def lsh_dropped_buckets(vocab: DataFrame, max_bucket: int = MAX_BUCKET) -> DataF
         .withColumn("shingles", char_shingles(F.col("norm_key"), SHINGLE_K))
         .filter(F.size("shingles") > 0)
     )
-    sig = keys.withColumn(
-        "band_key",
-        F.explode(
-            lsh_band_keys(minhash_signature(F.col("shingles"), NUM_PERM), BANDS, ROWS_PER_BAND)
-        ),
-    )
+    sig = minhash_bands_agg(keys, "norm_key", "shingles", NUM_PERM, BANDS, ROWS_PER_BAND)
     return (
         sig.groupBy("band_key").agg(F.count("*").alias("bsz")).filter(F.col("bsz") > max_bucket)
     )

@@ -74,15 +74,23 @@ def canonical_nodes(extracted: DataFrame, links: DataFrame) -> DataFrame:
     reference's chromosome/Snp/Indel label rules
     (VariantDatabase.java:296-305), a total classification (no crashing MT
     branch — SURVEY.md §2.8 C9 quirk intentionally not replicated).
+
+    One fused aggregation per canonical id: min(struct) first-wins,
+    collect_set label-union and count all have partial (map-side) merge, so
+    the hot entity's mentions pre-combine inside each map task before the
+    single shuffle — the skew never reaches one reducer un-reduced.
+    n_surfaces comes from the vocabulary-sized links table, not a
+    mention-scale countDistinct.
     """
-    subj = extracted.filter(F.col("kind") == "triple").select(
+    t = extracted.filter(F.col("kind") == "triple")
+    subj = t.select(
         F.col("subj_surface").alias("surface"),
         "conv_id",
         "turn_idx",
         F.lit("Subject").alias("pos_label"),
         "role",
     )
-    obj = extracted.filter(F.col("kind") == "triple").select(
+    obj = t.select(
         F.col("obj_surface").alias("surface"),
         "conv_id",
         "turn_idx",
@@ -90,48 +98,31 @@ def canonical_nodes(extracted: DataFrame, links: DataFrame) -> DataFrame:
         "role",
     )
     mentions = subj.unionByName(obj).join(F.broadcast(links), "surface")
-
-    firsts = first_wins(
-        mentions,
-        keys=["canonical_id"],
-        order_by=["conv_id", "turn_idx", "surface"],
-        payload=[],
-    ).select(
-        F.col("canonical_id"),
-        F.col("conv_id").alias("first_conv_id"),
-        F.col("turn_idx").alias("first_turn_idx"),
-        F.col("surface").alias("canonical_surface"),
-    )
-    pos_labels = mentions.select(
-        "canonical_id", F.col("pos_label").alias("label")
-    )
-    role_labels = mentions.select(
-        "canonical_id",
-        F.concat(F.lit("MENTIONED_BY_"), F.upper(F.col("role"))).alias("label"),
-    )
-    labels = label_union(
-        pos_labels.unionByName(role_labels), keys=["canonical_id"], label_col="label"
-    )
-    counts = mentions.groupBy("canonical_id").agg(
+    role_label = F.concat(F.lit("MENTIONED_BY_"), F.upper(F.col("role")))
+    agg = mentions.groupBy("canonical_id").agg(
+        F.min(F.struct("conv_id", "turn_idx", "surface")).alias("_first"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_set(F.array(F.col("pos_label"), role_label)))
+            )
+        ).alias("labels"),
         F.count("*").alias("n_mentions"),
-        F.countDistinct("surface").alias("n_surfaces"),
     )
-    return (
-        firsts.join(labels, "canonical_id")
-        .join(counts, "canonical_id")
-        .select(
-            F.col("canonical_id").alias("entity_id"),
-            "canonical_surface",
-            "labels",
-            F.create_map(
-                F.lit("first_conv_id"),
-                F.col("first_conv_id"),
-                F.lit("first_turn_idx"),
-                F.col("first_turn_idx").cast("string"),
-            ).alias("properties"),
-            "n_mentions",
-            "n_surfaces",
-        )
+    n_surfaces = links.groupBy("canonical_id").agg(
+        F.countDistinct("surface").alias("n_surfaces")
+    )
+    return agg.join(F.broadcast(n_surfaces), "canonical_id").select(
+        F.col("canonical_id").alias("entity_id"),
+        F.col("_first.surface").alias("canonical_surface"),
+        "labels",
+        F.create_map(
+            F.lit("first_conv_id"),
+            F.col("_first.conv_id"),
+            F.lit("first_turn_idx"),
+            F.col("_first.turn_idx").cast("string"),
+        ).alias("properties"),
+        "n_mentions",
+        "n_surfaces",
     )
 
 

@@ -31,7 +31,6 @@ from importtoneo4j_spark.operators.link import link_edges, mention_vocabulary
 from importtoneo4j_spark.operators.materialize import (
     canonical_nodes,
     canonical_triples,
-    global_checksum,
     lineage_manifest,
 )
 from importtoneo4j_spark.operators.merge import new_keys_only
@@ -100,6 +99,7 @@ class KGPipeline:
         self.store.write(edges, "link_edges")
         n_vocab = self.store.read("vocab").count()
         n_edges = self.store.read("link_edges").count()
+        self.spark.catalog.clearCache()  # drop the vocab-level LSH caches
         self.metrics["link"] = {"vocab": n_vocab, "edges": n_edges}
         self._mark("link", vocab=n_vocab, edges=n_edges)
 
@@ -113,7 +113,8 @@ class KGPipeline:
         self._mark("canonicalize", entities=n)
 
     def stage_materialize(self) -> None:
-        extracted = self.store.read("extracted")
+        extracted = self.store.read("extracted").cache()  # scanned by both
+        # the triples and the nodes branch (subj + obj unions)
         links = self.store.read("links")
         triples = canonical_triples(extracted, links)
         nodes = canonical_nodes(extracted, links)
@@ -143,9 +144,24 @@ class KGPipeline:
             final, self.run_id, "materialize", hash_cols=["subj", "pred", "obj"]
         )
         self.store.write(lineage, "lineage", mode="append" if prev_runs else "overwrite")
-        n_triples = final.count()
+        # triple count + global checksum derived from the manifest (bit_xor is
+        # associative: xor of per-partition checksums == xor of row hashes) —
+        # no extra full scans of the triples table
+        lin_rows = [
+            (r["output_rows"], int(r["checksum"]))
+            for r in self.store.read("lineage")
+            .filter(F.col("run_id") == self.run_id)
+            .select("output_rows", "checksum")
+            .collect()
+        ]
+        n_triples = sum(n for n, _ in lin_rows)
+        ux = 0
+        for _, c in lin_rows:
+            ux ^= c & 0xFFFFFFFFFFFFFFFF
+        signed = ux - 2**64 if ux >= 2**63 else ux
+        checksum = f"{n_triples}:{signed}" if lin_rows else "0:None"
         n_nodes = self.store.read("nodes").count()
-        checksum = global_checksum(final, ["subj", "pred", "obj"])
+        extracted.unpersist()
         self.metrics["materialize"] = {
             "triples": n_triples,
             "nodes": n_nodes,
@@ -175,11 +191,15 @@ class KGPipeline:
             "canonicalize": self.stage_canonicalize,
             "materialize": self.stage_materialize,
         }
+        stage_secs: dict[str, float] = {}
         for stage in STAGES:
             if resume and stage != "materialize" and self._done(stage):
                 self.metrics[stage] = {"resumed": True, **(self.store.read_marker(stage) or {})}
                 continue
+            ts = time.time()
             fns[stage]()
+            stage_secs[stage] = round(time.time() - ts, 3)
+        self.metrics["stage_secs"] = stage_secs
         self.metrics["wall_sec"] = time.time() - t0
         return self.metrics
 
