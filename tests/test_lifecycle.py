@@ -1,0 +1,102 @@
+"""Lifecycle tests: append-mode re-runs, mid-stage resume, streaming
+incremental extraction (FIXTURES.md §4 rerun_idempotent / resume_mid_stage)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from importtoneo4j_spark.datagen import TranscriptGenerator
+from importtoneo4j_spark.plans.pipeline import KGPipeline
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    gen = TranscriptGenerator(seed=7, n_entities=60)
+    path = str(tmp_path_factory.mktemp("lcdata") / "t")
+    gen.write_parquet(path, n_convs=30)
+    return path
+
+
+def test_append_same_input_is_noop(spark, data, tmp_path_factory):
+    """Second run (new run_id, append mode) over the same input must leave
+    the triple set unchanged — the anti-join delta is empty
+    (Main.java:73-76 / delta sink semantics)."""
+    work = str(tmp_path_factory.mktemp("lcwork") / "kg")
+    p1 = KGPipeline(spark, data, work, run_id="r1")
+    m1 = p1.run()
+    n1 = m1["materialize"]["triples"]
+
+    p2 = KGPipeline(spark, data, work, run_id="r2", mode="append")
+    for s in ["ingest", "extract", "link", "canonicalize"]:
+        p2.store.clear_marker(s)
+    p2.store.clear_marker("materialize")
+    # keep imported_runs knowledge: append mode needs the prior snapshot
+    p2.store.write_marker("materialize", {"run_id": "r1", "imported_runs": ["r1"]})
+    m2 = p2.run(resume=False)
+    assert m2["materialize"]["triples"] == n1
+    assert p2.store.read("triples_delta").count() == 0
+
+
+def test_resume_mid_stage_identical(spark, data, tmp_path_factory):
+    """Kill after stage k, resume -> identical final checksum."""
+    w_full = str(tmp_path_factory.mktemp("lc1") / "kg")
+    full = KGPipeline(spark, data, w_full, run_id="r1")
+    full.run()
+    want = full.store.read_marker("materialize")["checksum"]
+
+    w_part = str(tmp_path_factory.mktemp("lc2") / "kg")
+    part = KGPipeline(spark, data, w_part, run_id="r1")
+    part.stage_ingest()
+    part.stage_extract()  # "killed" after extract
+
+    resumed = KGPipeline(spark, data, w_part, run_id="r1")
+    m = resumed.run(resume=True)
+    assert m["ingest"].get("resumed") is True
+    assert m["extract"].get("resumed") is True
+    assert resumed.store.read_marker("materialize")["checksum"] == want
+
+
+def test_streaming_incremental_matches_batch(spark, data, tmp_path_factory):
+    """availableNow streaming extraction over the input dir == batch
+    extraction (same assertion multiset)."""
+    from importtoneo4j_spark.operators.extract import extract_assertions
+    from importtoneo4j_spark.sources.transcripts import (
+        read_transcripts,
+        split_valid_rejects,
+        with_stable_order,
+    )
+    from importtoneo4j_spark.streaming.incremental import incremental_extract_stream
+
+    out = str(tmp_path_factory.mktemp("stream") / "out")
+    ckpt = str(tmp_path_factory.mktemp("stream") / "ckpt")
+    q = incremental_extract_stream(spark, data, out, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+
+    batch_valid, _ = split_valid_rejects(read_transcripts(spark, data))
+    batch = extract_assertions(with_stable_order(batch_valid))
+    key = ["conv_id", "turn_idx", "subj_surface", "pred", "obj_surface"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*key).collect()))
+    want = sorted(map(tuple, batch.select(*key).collect()))
+    assert got == want
+
+
+def test_hot_entity_salting_consistency(spark, tmp_path_factory):
+    """hot_entity fixture: 60% skew — salted aggregation result equals the
+    logical (unsalted) result and the hot entity dominates mentions."""
+    gen = TranscriptGenerator(seed=11, n_entities=40, hot_share=0.6)
+    path = str(tmp_path_factory.mktemp("hot") / "t")
+    gen.write_parquet(path, n_convs=40)
+    work = str(tmp_path_factory.mktemp("hot") / "kg")
+    pipe = KGPipeline(spark, path, work, run_id="hot")
+    pipe.run()
+    nodes = pipe.nodes()
+    top = nodes.orderBy(F.col("n_mentions").desc()).first()
+    total = nodes.agg(F.sum("n_mentions")).first()[0]
+    assert top["n_mentions"] / total > 0.2  # skew is present
+    # subject-side triples of the hot entity survived dedup correctly:
+    hot_id = top["entity_id"]
+    triples = pipe.triples().filter(F.col("subj") == hot_id)
+    assert triples.count() == triples.dropDuplicates(["subj", "pred", "obj"]).count()

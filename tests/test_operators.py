@@ -1,0 +1,208 @@
+"""Per-operator unit tests (SURVEY.md §5 item 1, FIXTURES.md §4 cases)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from importtoneo4j_spark.functions.text import (
+    char_shingles,
+    jaccard,
+    minhash_bands_agg,
+    normalize_text,
+    nullify_sentinels,
+)
+from importtoneo4j_spark.operators.canonicalize import connected_components
+from importtoneo4j_spark.operators.extract import extract_assertions
+from importtoneo4j_spark.operators.merge import (
+    assert_unique,
+    first_wins,
+    label_union,
+    new_keys_only,
+)
+
+
+# ------------------------------------------------------- connected components
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        (r["id"], r["comp"]) for r in connected_components(df).collect()
+    }
+
+
+def test_cc_chain(spark):
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")}
+
+
+def test_cc_star(spark):
+    got = _cc(spark, [("m", "a"), ("m", "b"), ("m", "z")])
+    assert got == {("m", "a"), ("a", "a"), ("b", "a"), ("z", "a")}
+
+
+def test_cc_two_components(spark):
+    got = _cc(spark, [("a", "b"), ("x", "y"), ("y", "z")])
+    comps = {}
+    for node, comp in got:
+        comps.setdefault(comp, set()).add(node)
+    assert set(map(frozenset, comps.values())) == {
+        frozenset({"a", "b"}),
+        frozenset({"x", "y", "z"}),
+    }
+
+
+def test_cc_self_loop(spark):
+    got = _cc(spark, [("a", "a"), ("a", "b")])
+    assert got == {("a", "a"), ("b", "a")}
+
+
+# ----------------------------------------------------------- first-wins merge
+
+@pytest.fixture(scope="module")
+def fw_df(spark):
+    rows = [
+        ("k1", "c2", 5, "late", 2.0),
+        ("k1", "c1", 3, "early", 1.0),
+        ("k1", "c1", 9, "mid", 3.0),
+        ("k2", "c9", 0, "only", 4.0),
+    ]
+    return spark.createDataFrame(rows, ["k", "conv", "turn", "val", "num"])
+
+
+def test_first_wins_deterministic(spark, fw_df):
+    out = {
+        r["k"]: (r["conv"], r["turn"], r["val"])
+        for r in first_wins(fw_df, ["k"], ["conv", "turn"], ["val", "num"]).collect()
+    }
+    assert out == {"k1": ("c1", 3, "early"), "k2": ("c9", 0, "only")}
+
+
+def test_first_wins_salted_equals_unsalted(spark, fw_df):
+    a = sorted(
+        map(tuple, first_wins(fw_df, ["k"], ["conv", "turn"], ["val"], salt_buckets=1).collect())
+    )
+    b = sorted(
+        map(tuple, first_wins(fw_df, ["k"], ["conv", "turn"], ["val"], salt_buckets=32).collect())
+    )
+    assert a == b
+
+
+def test_first_wins_shuffled_input_stable(spark, fw_df):
+    shuffled = fw_df.orderBy(F.rand(seed=7)).repartition(5)
+    a = sorted(map(tuple, first_wins(fw_df, ["k"], ["conv", "turn"], ["val"]).collect()))
+    b = sorted(map(tuple, first_wins(shuffled, ["k"], ["conv", "turn"], ["val"]).collect()))
+    assert a == b
+
+
+def test_label_union_sorted(spark):
+    df = spark.createDataFrame(
+        [("k", "B"), ("k", "A"), ("k", "B"), ("j", "Z")], ["k", "lbl"]
+    )
+    out = {r["k"]: r["labels"] for r in label_union(df, ["k"], "lbl").collect()}
+    assert out == {"k": ["A", "B"], "j": ["Z"]}
+
+
+def test_new_keys_only(spark):
+    new = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    snap = spark.createDataFrame([("a", 9)], ["k", "v"])
+    assert [tuple(r) for r in new_keys_only(new, snap, ["k"]).collect()] == [("b", 2)]
+
+
+def test_assert_unique_raises(spark):
+    df = spark.createDataFrame([("a",), ("a",)], ["k"])
+    with pytest.raises(ValueError, match="uniqueness violated"):
+        assert_unique(df, ["k"])
+
+
+# ------------------------------------------------------------ text functions
+
+def test_nullify_sentinels(spark):
+    df = spark.createDataFrame(
+        [(".",), ("",), ("  ",), ("\t\n",), (" ok ",), (None,)], ["t"]
+    )
+    got = [r["o"] for r in df.select(nullify_sentinels(F.col("t")).alias("o")).collect()]
+    assert got == [None, None, None, None, "ok", None]
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [("Alpha-Systems.",), ("ALPHA  SYSTEMS",), ("alpha_systems",)], ["t"]
+    )
+    got = {r["o"] for r in df.select(normalize_text(F.col("t")).alias("o")).collect()}
+    assert got == {"alpha systems"}
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",)], ["t"])
+    got = [r["s"] for r in df.select(char_shingles(F.col("t"), 3).alias("s")).collect()]
+    assert got[0] == ["abc", "bcd"]
+    assert got[1] == ["ab"]  # shorter than k: one truncated shingle
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"])
+    got = df.select(jaccard(F.col("x"), F.col("y")).alias("j")).first()["j"]
+    assert abs(got - 0.5) < 1e-9
+
+
+def test_minhash_identical_strings_collide_everywhere(spark):
+    df = spark.createDataFrame([("a", ["x", "y"]), ("b", ["x", "y"])], ["id", "sh"])
+    bands = minhash_bands_agg(df, "id", "sh", 8, 4, 2)
+    per_key = (
+        bands.groupBy("band_key").agg(F.countDistinct("id").alias("n")).collect()
+    )
+    assert all(r["n"] == 2 for r in per_key)
+    assert len(per_key) == 4
+
+
+# ---------------------------------------------------------------- extraction
+
+def _extract(spark, texts):
+    rows = [("c1", i, "user", t, None, None) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).withColumn("seq", F.col("turn_idx") + 1)
+    return [
+        (r["subj_surface"], r["pred"], r["obj_surface"], r["kind"], r["quality"])
+        for r in extract_assertions(df).orderBy("turn_idx").collect()
+    ]
+
+
+def test_extract_triple_and_fanout(spark):
+    got = _extract(
+        spark, ["x [[A B]] works_at [[C D]] ; y [[E]] uses [[F]] .", "no mentions here"]
+    )
+    assert got == [
+        ("A B", "works_at", "C D", "triple", 1.0),
+        ("E", "uses", "F", "triple", 1.0),
+    ]
+
+
+def test_extract_same_as_and_dynamic_pred(spark):
+    got = _extract(
+        spark,
+        ["[[A]] aka [[A Corp]] per registry", "[[A]] invoked:sql [[B]] returned 3 rows"],
+    )
+    assert got[0] == ("A", "same_as", "A Corp", "same_as", 1.0)
+    assert got[1][1] == "invoked_sql"
+    assert got[1][3] == "triple"
+    assert abs(got[1][4] - 0.8) < 1e-6
+
+
+def test_extract_empty_batch(spark):
+    assert _extract(spark, ["plain text", "more text"]) == []
+
+
+# -------------------------------------------------------- oracle/datagen sync
+
+def test_oracle_extraction_agrees_with_udf(spark, gen):
+    """The Spark UDF and the sequential oracle must parse identically."""
+    from importtoneo4j_spark.oracle import ASSERTION_RE
+
+    pdf = gen.turns_pandas(n_convs=10)
+    texts = [t for t in pdf["text"] if isinstance(t, str)]
+    n_oracle = sum(len(ASSERTION_RE.findall(t)) for t in texts)
+    got = _extract(spark, texts)
+    assert len(got) == n_oracle
