@@ -48,24 +48,19 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
+        new_comp = F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp")))
+        # convergence flag computed inside the iteration plan: the count of
+        # changed rows is a cheap scan of the checkpointed result, not a
+        # join-back against the previous labels
+        new_labels = labels.join(nbr_min, "id", "left").select(
+            "id",
+            new_comp.alias("comp"),
+            (new_comp != F.col("comp")).alias("_changed"),
         )
         if (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     else:

@@ -1,0 +1,169 @@
+"""Document deduplication family — the training-data-pipeline operators.
+
+* exact_dedup          — content-hash groupBy, keep-min-id (HashSet dedup,
+                         reference VariantDatabase.java:357, generalized)
+* ngram_jaccard_pairs  — exact near-dup pairs via inverted-index self-join
+                         on token n-gram shingles (quadratic in bucket size;
+                         fine when shingles are high-entropy)
+* minhash_near_dups    — MinHash-LSH blocking + exact-Jaccard verification;
+                         the 100 TB path (md5-based, oracle-identical in SQL)
+* simhash_near_dups    — 64-bit SimHash with banded blocking + Hamming
+                         verification; all native expressions (xxhash64 +
+                         bit ops), no UDF
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from importtoneo4j_spark.functions.text import jaccard, minhash_bands_agg
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_ngrams(text_col: Column, n: int = 5) -> Column:
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest id per distinct content hash."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    sh = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
+        F.col(id_col).alias("doc"), token_ngrams(F.col(text_col), n).alias("sh")
+    )
+    inv = sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(b, "s")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("a_id"),
+            F.col("b.doc").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jac", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("a_id", "b_id", "jac")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_perm: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    sh = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
+        F.col(id_col).alias("doc"), token_ngrams(F.col(text_col), n).alias("sh")
+    )
+    sig = minhash_bands_agg(sh, "doc", "sh", num_perm, bands, rows_per_band)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+        .distinct()
+    )
+    return (
+        cand.join(sh.select(F.col("doc").alias("a_id"), F.col("sh").alias("sa")), "a_id")
+        .join(sh.select(F.col("doc").alias("b_id"), F.col("sh").alias("sb")), "b_id")
+        .withColumn("jac", jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("jac") >= threshold)
+        .select("a_id", "b_id", "jac")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over xxhash64 of
+    the distinct tokens. One explode + one wide aggregation, all codegen'd."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return agg.select("doc", sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming, blocked on
+    16-bit SimHash bands (a pair within distance d < bands must agree on at
+    least one band — pigeonhole), verified with bit_count(xor)."""
+    s = simhash(df, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = s.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}|"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("a_id"),
+            F.col("b.doc").alias("b_id"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

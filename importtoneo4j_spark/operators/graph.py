@@ -1,0 +1,150 @@
+"""Graph query operators over the materialized nodes/triples tables —
+the distributed analog of the reference's generic operator library
+(Neo4j.java): label/property node scans, 1-hop traversals with predicates,
+edge-existence probes. Every method returns a DataFrame (lazy plan), so
+Catalyst fuses the predicates into the parquet scans.
+
+Reference parity map:
+  get_nodes                 <- Neo4j.getNodes (Neo4j.java:116-136) /
+                               getNodeIds (:137-159)
+  get_node_labels           <- Neo4j.getNodeLabels (Neo4j.java:344-354)
+  match_unique_node         <- Neo4j.matchOrCreateUniqueNode lookup tier
+                               (Neo4j.java:160-173; >1 hit -> error)
+  has_relationship          <- Neo4j.hasRelationship (Neo4j.java:212-229)
+  find_neighbours           <- Neo4j.findNeighbourNodes (Neo4j.java:254-277)
+  find_neighbours_with_params <- Neo4j.findNeighbourNodesWithParameters
+                               (Neo4j.java:278-312)
+  is_neighbour_with_props   <- Neo4j.isNeighbourNodeWithSuppliedProperties
+                               (Neo4j.java:313-343)
+  run_sql                   <- Neo4j.runCypherQuery (Neo4j.java:174-189) —
+                               declared API surface, spark.sql equivalent
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class GraphView:
+    """A queryable view over (nodes, triples) DataFrames."""
+
+    def __init__(self, nodes: DataFrame, triples: DataFrame) -> None:
+        self.nodes = nodes
+        self.triples = triples
+
+    # ------------------------------------------------------------ node scans
+    def get_nodes(self, label: str | None = None, **props) -> DataFrame:
+        """Nodes carrying ``label`` whose property equalities all hold.
+        Top-level columns are treated as typed properties; other keys probe
+        the properties map."""
+        df = self.nodes
+        if label is not None:
+            df = df.filter(F.array_contains(F.col("labels"), label))
+        for k, v in props.items():
+            col = F.col(k) if k in df.columns else F.col("properties").getItem(k)
+            df = df.filter(col == F.lit(v))
+        return df
+
+    def get_node_labels(self, entity_id: str) -> list[str]:
+        row = self.nodes.filter(F.col("entity_id") == entity_id).select("labels").first()
+        return list(row["labels"]) if row else []
+
+    def match_unique_node(self, **props) -> DataFrame:
+        """Unique-match semantics: >1 hit raises (Neo4j.java:163-167)."""
+        hits = self.get_nodes(**props)
+        n = hits.limit(2).count()
+        if n > 1:
+            raise ValueError(f"more than one node matches {props}")
+        return hits
+
+    # ------------------------------------------------------------ traversals
+    def has_relationship(
+        self, subj: str, obj: str, pred: str | None = None
+    ) -> bool:
+        df = self.triples.filter((F.col("subj") == subj) & (F.col("obj") == obj))
+        if pred is not None:
+            df = df.filter(F.col("pred") == pred)
+        return df.limit(1).count() > 0
+
+    def find_neighbours(
+        self,
+        entity_id: str | None = None,
+        pred: str | None = None,
+        direction: str = "out",
+        end_label: str | None = None,
+    ) -> DataFrame:
+        """1-hop traversal join: edges -> end nodes, optional rel-type and
+        end-label filters. With entity_id=None this is the set form (all
+        (src, neighbour) pairs) — the distributed generalization."""
+        if direction == "out":
+            e = self.triples.select(
+                F.col("subj").alias("from_id"), "pred", F.col("obj").alias("to_id")
+            )
+        elif direction == "in":
+            e = self.triples.select(
+                F.col("obj").alias("from_id"), "pred", F.col("subj").alias("to_id")
+            )
+        else:  # both
+            e = self.triples.select(
+                F.col("subj").alias("from_id"), "pred", F.col("obj").alias("to_id")
+            ).unionByName(
+                self.triples.select(
+                    F.col("obj").alias("from_id"), "pred", F.col("subj").alias("to_id")
+                )
+            )
+        if entity_id is not None:
+            e = e.filter(F.col("from_id") == entity_id)
+        if pred is not None:
+            e = e.filter(F.col("pred") == pred)
+        out = e.join(
+            self.nodes.withColumnRenamed("entity_id", "to_id"), "to_id"
+        )
+        if end_label is not None:
+            out = out.filter(F.array_contains(F.col("labels"), end_label))
+        return out
+
+    def find_neighbours_with_params(
+        self, entity_id: str, pred: str | None = None, **end_props
+    ) -> DataFrame:
+        """Traversal with conjunctive end-node property equalities
+        (Neo4j.java:278-312: ALL supplied parameters must match)."""
+        out = self.find_neighbours(entity_id, pred)
+        preds = []
+        for k, v in end_props.items():
+            col = F.col(k) if k in out.columns else F.col("properties").getItem(k)
+            preds.append(col == F.lit(v))
+        if preds:
+            out = out.filter(reduce(lambda a, b: a & b, preds))
+        return out
+
+    def is_neighbour_with_props(
+        self, subj: str, obj: str, pred: str, **edge_props
+    ) -> bool:
+        """Edge-property semi-join (Neo4j.java:313-343): does an edge exist
+        with ALL the supplied edge properties?"""
+        df = self.triples.filter(
+            (F.col("subj") == subj) & (F.col("obj") == obj) & (F.col("pred") == pred)
+        )
+        for k, v in edge_props.items():
+            col = F.col(k) if k in df.columns else F.col("properties").getItem(k)
+            df = df.filter(col == F.lit(v))
+        return df.limit(1).count() > 0
+
+    # ------------------------------------------------------------------- SQL
+    def run_sql(self, spark: SparkSession, query: str) -> DataFrame:
+        """Register views and run SQL — the spark.sql analog of the
+        reference's (never-called) runCypherQuery API surface."""
+        self.nodes.createOrReplaceTempView("nodes")
+        self.triples.createOrReplaceTempView("triples")
+        return spark.sql(query)
+
+    # ---------------------------------------------------------- aggregates
+    def degree(self, direction: str = "out") -> DataFrame:
+        key = "subj" if direction == "out" else "obj"
+        return self.triples.groupBy(F.col(key).alias("entity_id")).agg(
+            F.count("*").alias("degree"),
+            F.countDistinct("pred").alias("n_pred_types"),
+        )

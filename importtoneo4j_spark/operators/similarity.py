@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k; the correctness baseline. Native
+  higher-order functions (zip_with + aggregate) in double precision; no UDF.
+* ivf_topk — IVF-style bucketed ANN: deterministic coarse quantizer (the K
+  lowest-id vectors act as centroids — reproducible without training), one
+  assignment pass, then search restricted to the query's nprobe nearest
+  buckets. The scale path: assignment is a broadcast join (centroids are
+  tiny), search joins only matching buckets instead of a full cross join.
+* simhash / embedding near-dup live in dedup-land but share `cosine` here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """queries(qid, qe) x embeddings -> top-k by cosine per query.
+
+    Exact; cost O(|Q| * |N|). Use for small query sets / verification."""
+    pairs = queries.crossJoin(embeddings.select(id_col, vec_col)).filter(
+        F.col(id_col) != F.col("qid")
+    )
+    sims = pairs.select(
+        "qid", id_col, cosine(F.col("qe"), F.col(vec_col)).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_buckets(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantization.
+
+    Centroids := the n_centroids vectors with the lowest ids (seeded, no
+    k-means iterations — reproducible and oracle-checkable; swap in k-means||
+    when quality matters more than determinism). Returns (centroids,
+    assignments(id, bucket, vec)). Assignment = argmax cosine, ties to the
+    lowest centroid id; the centroid table broadcasts."""
+    cents = embeddings.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("ce")
+    )
+    scored = embeddings.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+    w = Window.partitionBy(id_col).orderBy(
+        cosine(F.col(vec_col), F.col("ce")).desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(id_col, F.col("centroid_id").alias("bucket"), vec_col)
+    )
+    return cents, assigned
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the query's nprobe closest buckets.
+
+    At 100 TB the assignment table is bucket-partitioned and the probe join
+    touches nprobe/n_centroids of the data instead of all of it."""
+    cents, assigned = assign_buckets(embeddings, n_centroids, id_col, vec_col)
+    qc = queries.crossJoin(F.broadcast(cents))
+    wq = Window.partitionBy("qid").orderBy(
+        cosine(F.col("qe"), F.col("ce")).desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .select("qid", "qe", F.col("centroid_id").alias("bucket"))
+    )
+    cand = probes.join(assigned, "bucket").filter(F.col(id_col) != F.col("qid"))
+    sims = cand.select("qid", id_col, cosine(F.col("qe"), F.col(vec_col)).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, blocked by IVF bucket:
+    only intra-bucket pairs are scored (near-identical vectors share a
+    bucket). Returns (a_id, b_id, sim) with a_id < b_id."""
+    _, assigned = assign_buckets(embeddings, n_centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("bucket"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col("bucket"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

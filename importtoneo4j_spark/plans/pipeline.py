@@ -22,7 +22,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from importtoneo4j_spark.operators.canonicalize import assign_canonical_ids
@@ -69,6 +69,13 @@ class KGPipeline:
         return bool(m and self.run_id in m.get("imported_runs", []))
 
     # ---------------------------------------------------------------- stages
+    def _write_counted(self, df: DataFrame, name: str, **write_kwargs) -> int:
+        """Write a stage table and return its row count from an Observation
+        attached to the same action — no second counting job."""
+        obs = Observation(f"{name}_rows")
+        self.store.write(df.observe(obs, F.count(F.lit(1)).alias("n")), name, **write_kwargs)
+        return int(obs.get["n"])
+
     def stage_ingest(self) -> None:
         raw = read_transcripts(self.spark, self.input_path)
         valid, rejects = split_valid_rejects(raw)
@@ -76,29 +83,24 @@ class KGPipeline:
         # repartition on conv_id: downstream extraction and ordering windows
         # shuffle once here and reuse the layout
         ordered = ordered.repartition("conv_id")
-        self.store.write(ordered, "valid")
-        self.store.write(rejects, "rejects")
-        n_valid = self.store.read("valid").count()
-        n_rej = self.store.read("rejects").count()
+        n_valid = self._write_counted(ordered, "valid")
+        n_rej = self._write_counted(rejects, "rejects")
         self.metrics["ingest"] = {"valid": n_valid, "rejected": n_rej}
         self._mark("ingest", valid=n_valid, rejected=n_rej)
 
     def stage_extract(self) -> None:
         valid = self.store.read("valid")
         extracted = extract_assertions(valid)
-        self.store.write(extracted, "extracted")
-        n = self.store.read("extracted").count()
+        n = self._write_counted(extracted, "extracted")
         self.metrics["extract"] = {"assertions": n}
         self._mark("extract", assertions=n)
 
     def stage_link(self) -> None:
         extracted = self.store.read("extracted")
         vocab = mention_vocabulary(extracted)
-        self.store.write(vocab, "vocab")
+        n_vocab = self._write_counted(vocab, "vocab")
         edges = link_edges(extracted, self.store.read("vocab"))
-        self.store.write(edges, "link_edges")
-        n_vocab = self.store.read("vocab").count()
-        n_edges = self.store.read("link_edges").count()
+        n_edges = self._write_counted(edges, "link_edges")
         self.spark.catalog.clearCache()  # drop the vocab-level LSH caches
         self.metrics["link"] = {"vocab": n_vocab, "edges": n_edges}
         self._mark("link", vocab=n_vocab, edges=n_edges)
@@ -107,8 +109,13 @@ class KGPipeline:
         vocab = self.store.read("vocab")
         edges = self.store.read("link_edges")
         links = assign_canonical_ids(vocab, edges)
-        self.store.write(links, "links")
-        n = self.store.read("links").select("canonical_id").distinct().count()
+        obs = Observation("entities")
+        self.store.write(
+            links.observe(obs, F.approx_count_distinct("canonical_id").alias("n")),
+            "links",
+        )
+        n = int(obs.get["n"])  # approx is fine for a metric; exact count
+        # would need a distinct shuffle just for observability
         self.metrics["canonicalize"] = {"entities": n}
         self._mark("canonicalize", entities=n)
 
@@ -130,12 +137,11 @@ class KGPipeline:
             self.store.write(self.store.read("triples_delta"), "triples", mode="append")
             nodes_snap = self.store.read("nodes")
             nodes_delta = new_keys_only(nodes, nodes_snap, ["entity_id"])
-            self.store.write(nodes_delta, "nodes", mode="append")
+            n_nodes_written = self._write_counted(nodes_delta, "nodes", mode="append")
+            n_nodes = self.store.read("nodes").count()
         else:
-            self.store.write(
-                triples.repartition(F.col("subj")), "triples"
-            )
-            self.store.write(nodes, "nodes")
+            self.store.write(triples.repartition(F.col("subj")), "triples")
+            n_nodes = self._write_counted(nodes, "nodes")
             empty_delta = triples.limit(0)
             self.store.write(empty_delta, "triples_delta")
 
@@ -160,7 +166,6 @@ class KGPipeline:
             ux ^= c & 0xFFFFFFFFFFFFFFFF
         signed = ux - 2**64 if ux >= 2**63 else ux
         checksum = f"{n_triples}:{signed}" if lin_rows else "0:None"
-        n_nodes = self.store.read("nodes").count()
         extracted.unpersist()
         self.metrics["materialize"] = {
             "triples": n_triples,

@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep post-shuffle parallelism alive on modest inputs: the 64 MB
+        # default advisory size coalesces a few-MB shuffle to 1-2 tasks and
+        # serializes the stage regardless of core count. 8 MB still merges
+        # tiny partitions at scale but preserves fan-out in between.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
