@@ -1,0 +1,54 @@
+"""spark-submit entry point (north_rule: run via spark-submit --py-files).
+
+Usage:
+  spark-submit --py-files importtoneo4j_spark.zip -m importtoneo4j_spark ...
+  python -m importtoneo4j_spark --input <transcripts> --workdir <dir> \
+      [--run-id run-001] [--mode overwrite|append] [--no-resume] \
+      [--master local[32]] [--gen-convs N]
+
+With --gen-convs N and no --input, generates a deterministic synthetic
+corpus first (datagen.py, seed=42).
+Prints a one-line JSON metrics report on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from importtoneo4j_spark.datagen import TranscriptGenerator
+from importtoneo4j_spark.plans.pipeline import KGPipeline
+from importtoneo4j_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="importtoneo4j_spark")
+    ap.add_argument("--input", help="transcripts parquet dir or table name")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--run-id", default="run-001")
+    ap.add_argument("--mode", choices=["overwrite", "append"], default="overwrite")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--gen-convs", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("importtoneo4j_spark", master=args.master)
+
+    input_path = args.input
+    if input_path is None:
+        if args.gen_convs is None:
+            ap.error("either --input or --gen-convs is required")
+        input_path = f"{args.workdir}/_generated_transcripts"
+        TranscriptGenerator().write_parquet(input_path, n_convs=args.gen_convs)
+
+    pipe = KGPipeline(
+        spark, input_path, args.workdir, run_id=args.run_id, mode=args.mode
+    )
+    metrics = pipe.run(resume=not args.no_resume)
+    print(json.dumps(metrics, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -97,23 +97,31 @@ def minhash_near_dups(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """64-bit SimHash per document: per-bit majority vote over xxhash64 of
-    the distinct tokens. One explode + one wide aggregation, all codegen'd."""
+    the distinct token n-grams. One explode + one wide aggregation, all
+    codegen'd. Features are n-grams, not unigrams: on low-entropy vocabularies
+    every document's unigram SET is nearly identical and unigram SimHash
+    degenerates (all hashes collide)."""
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
+        F.explode(token_ngrams(F.col(text_col), n)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
+    def bitmask(b: int):
+        # shiftleft stays in the JVM's signed long domain (bit 63 would
+        # overflow a Python-literal F.lit)
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
     votes = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(bitmask(b)) != 0, 1).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(64)
     ]
     agg = toks.groupBy("doc").agg(*votes)
     sim = None
     for b in range(64):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"v{b}") > 0, bitmask(b)).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return agg.select("doc", sim.alias("simhash"))
 

@@ -1,0 +1,232 @@
+"""Tests: graph query API, dedup family, similarity search, multimodal
+plumbing, CLI entry point."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from importtoneo4j_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from importtoneo4j_spark.operators.graph import GraphView
+from importtoneo4j_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from importtoneo4j_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ GraphView
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("a", "A Corp", ["Subject", "Org"], {"tier": "1"}, 5, 2),
+            ("b", "B Inc", ["Object"], {"tier": "2"}, 3, 1),
+            ("c", "C Ltd", ["Subject", "Object"], {"tier": "1"}, 1, 1),
+        ],
+        "entity_id string, canonical_surface string, labels array<string>, "
+        "properties map<string,string>, n_mentions long, n_surfaces long",
+    )
+    triples = spark.createDataFrame(
+        [
+            ("a", "works_at", "b", "c1", 0, 1.0, {"source_role": "user"}),
+            ("a", "uses", "c", "c1", 1, 1.0, {"source_role": "tool"}),
+            ("b", "works_at", "c", "c2", 0, 1.0, {"source_role": "user"}),
+        ],
+        "subj string, pred string, obj string, conv_id string, turn_idx int, "
+        "quality float, properties map<string,string>",
+    )
+    return GraphView(nodes, triples)
+
+
+def test_get_nodes_label_and_prop(graph):
+    got = {r["entity_id"] for r in graph.get_nodes("Subject", tier="1").collect()}
+    assert got == {"a", "c"}
+
+
+def test_match_unique_node(graph):
+    assert graph.match_unique_node(entity_id="a").count() == 1
+    with pytest.raises(ValueError, match="more than one"):
+        graph.match_unique_node(tier="1")
+
+
+def test_has_relationship(graph):
+    assert graph.has_relationship("a", "b", "works_at")
+    assert not graph.has_relationship("b", "a", "works_at")
+
+
+def test_find_neighbours_directions(graph):
+    out = {r["to_id"] for r in graph.find_neighbours("a", direction="out").collect()}
+    assert out == {"b", "c"}
+    inn = {r["to_id"] for r in graph.find_neighbours("c", direction="in").collect()}
+    assert inn == {"a", "b"}
+    lbl = {
+        r["to_id"]
+        for r in graph.find_neighbours("a", direction="out", end_label="Object").collect()
+    }
+    assert lbl == {"b", "c"}
+
+
+def test_find_neighbours_with_params(graph):
+    got = {r["to_id"] for r in graph.find_neighbours_with_params("a", tier="2").collect()}
+    assert got == {"b"}
+
+
+def test_is_neighbour_with_props(graph):
+    assert graph.is_neighbour_with_props("a", "c", "uses", source_role="tool")
+    assert not graph.is_neighbour_with_props("a", "c", "uses", source_role="user")
+
+
+def test_run_sql_and_degree(spark, graph):
+    df = graph.run_sql(
+        spark, "SELECT pred, count(*) AS n FROM triples GROUP BY pred ORDER BY pred"
+    )
+    assert [tuple(r) for r in df.collect()] == [("uses", 1), ("works_at", 2)]
+    deg = {r["entity_id"]: r["degree"] for r in graph.degree("out").collect()}
+    assert deg == {"a": 2, "b": 1}
+
+
+# ---------------------------------------------------------------- dedup family
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    got = {r["keep_id"] for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert got == {1, 3}
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    """LSH candidates (verified >= 0.5) must equal the exact inverted-index
+    pairs at this scale (recall at j >= 0.9 with 8 bands x 2 rows ~ 1.0)."""
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_near_dups(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # planted near-dups exist in the testdata
+
+
+def test_simhash_finds_planted_dups(spark, docs):
+    got = simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+    pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
+    strict = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    loose = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    # high precision: hamming<=3 pairs are all true near-dups...
+    assert pairs <= loose
+    # ...with useful recall on the >=0.9 planted duplicates
+    assert len(pairs & strict) >= int(0.5 * len(strict))
+
+
+# ------------------------------------------------------------------ similarity
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    bf = brute_force_topk(emb, q, k=3)
+    ivf = ivf_topk(emb, q, k=3, n_centroids=16, nprobe=8)
+    bf_set = {(r["qid"], r["vec_id"]) for r in bf.collect()}
+    ivf_set = {(r["qid"], r["vec_id"]) for r in ivf.collect()}
+    # approximate: with nprobe=8/16 expect >= 50% overlap of true top-3
+    assert len(bf_set & ivf_set) >= int(0.5 * len(bf_set))
+    assert len(ivf_set) == 8 * 3
+
+
+def test_embedding_near_dups_self_consistency(spark, emb):
+    # duplicate a vector under a new id -> must be found with sim ~ 1.0
+    dup = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    got = embedding_near_dups(emb.unionByName(dup), threshold=0.999)
+    pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
+    assert (3, 100003) in pairs
+
+
+# ------------------------------------------------------------------ multimodal
+
+def test_media_feature_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["decode_status"] == "fake" for r in feats)
+    # deterministic: same payload -> same sha1/feature across runs
+    feats2 = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert all(
+        feats2[i]["sha1"] == by_id[i]["sha1"]
+        and feats2[i]["feature"] == by_id[i]["feature"]
+        for i in by_id
+    )
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media(spark, n=9)
+    plan = frame_sample_plan(media, every_ms=500)
+    rows = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 2 for r in rows)
+    assert plan.filter(F.col("frame_ts_ms") % 500 != 0).count() == 0
+
+
+# ------------------------------------------------------------------------ CLI
+
+def test_cli_end_to_end(tmp_path):
+    work = str(tmp_path / "cliwork")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "importtoneo4j_spark",
+            "--workdir",
+            work,
+            "--gen-convs",
+            "12",
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["materialize"]["triples"] > 0
