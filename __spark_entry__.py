@@ -772,6 +772,183 @@ def _sql_ann_topk() -> str:
     """
 
 
+def _sql_cosine(a: str, b: str) -> str:
+    """Inline double-precision cosine for the DuckDB oracle (macro-free)."""
+    def dotexpr(x: str, y: str) -> str:
+        return (
+            f"list_sum([{x}[i]::DOUBLE * {y}[i]::DOUBLE "
+            f"for i in generate_series(1, len({x}))])"
+        )
+
+    return f"({dotexpr(a, b)} / (sqrt({dotexpr(a, a)}) * sqrt({dotexpr(b, b)})))"
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (deterministic coarse quantizer): the scale path —
+    assignment via broadcast centroid join, probe-limited search."""
+    from importtoneo4j_spark.operators.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = ivf_topk(e, q, k=3, n_centroids=16, nprobe=4)
+    return out.select(
+        "qid", "vec_id", F.round("sim", 4).alias("sim"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _sql_ann_ivf() -> str:
+    cos_ec = _sql_cosine("e.embedding", "c.ce")
+    cos_qc = _sql_cosine("q.qe", "c.ce")
+    cos_pa = _sql_cosine("p.qe", "a.embedding")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+      ORDER BY vec_id LIMIT 16
+    ), assigned AS (
+      SELECT vec_id, bucket, embedding FROM (
+        SELECT e.vec_id, c.centroid_id AS bucket, e.embedding,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.centroid_id) AS rnk
+        FROM embeddings e, cents c)
+      WHERE rnk = 1
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), probes AS (
+      SELECT qid, qe, bucket FROM (
+        SELECT q.qid, q.qe, c.centroid_id AS bucket,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_qc} DESC, c.centroid_id) AS rnk
+        FROM q, cents c)
+      WHERE rnk <= 4
+    ), sims AS (
+      SELECT p.qid, a.vec_id, {cos_pa} AS sim
+      FROM probes p JOIN assigned a USING (bucket)
+      WHERE a.vec_id != p.qid
+    )
+    SELECT qid, vec_id, round(sim, 4) AS sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY sim DESC, vec_id) AS rank
+          FROM sims)
+    WHERE rank <= 3
+    """
+
+
+def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-bucket-blocked."""
+    from importtoneo4j_spark.operators.similarity import embedding_near_dups
+
+    e = _load(spark, sf_dir, "embeddings")["embeddings"]
+    out = embedding_near_dups(e, threshold=0.45, n_centroids=16)
+    return out.select("a_id", "b_id", F.round("sim", 4).alias("sim"))
+
+
+def _sql_emb_near_dups() -> str:
+    cos_ec = _sql_cosine("e.embedding", "c.ce")
+    cos_ab = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+      ORDER BY vec_id LIMIT 16
+    ), assigned AS (
+      SELECT vec_id, bucket, embedding FROM (
+        SELECT e.vec_id, c.centroid_id AS bucket, e.embedding,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.centroid_id) AS rnk
+        FROM embeddings e, cents c)
+      WHERE rnk = 1
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, round({cos_ab}, 4) AS sim
+    FROM assigned a JOIN assigned b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos_ab} >= 0.45
+    """
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups — no SQL oracle (xxhash64 is Spark-specific);
+    the driver records the weaker rows-only check, and tests/ verify it
+    against the exact n-gram Jaccard pairs."""
+    from importtoneo4j_spark.operators.dedup import simhash_near_dups
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+
+
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID (stopword markers), compared against the
+    labeled lang column."""
+    d = _load(spark, sf_dir, "documents")["documents"]
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    guess = (
+        F.when(padded.like("% the %") | padded.like("% a %"), "en")
+        .when(padded.like("% le %") | padded.like("% la %"), "fr")
+        .when(padded.like("% der %") | padded.like("% und %"), "de")
+        .when(padded.like("% el %") | padded.like("% los %"), "es")
+        .otherwise("unk")
+    )
+    return d.groupBy(F.col("lang"), guess.alias("guessed")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def _sql_text_lang_guess() -> str:
+    return """
+    SELECT lang,
+           CASE WHEN p LIKE '% the %' OR p LIKE '% a %' THEN 'en'
+                WHEN p LIKE '% le %' OR p LIKE '% la %' THEN 'fr'
+                WHEN p LIKE '% der %' OR p LIKE '% und %' THEN 'de'
+                WHEN p LIKE '% el %' OR p LIKE '% los %' THEN 'es'
+                ELSE 'unk' END AS guessed,
+           count(*) AS n
+    FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents)
+    GROUP BY 1, 2
+    """
+
+
+def a1_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (HashSet dedup A1 analog)."""
+    e = _load(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _sql_a1() -> str:
+    return """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """
+
+
+def p1_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by status x priority (conditional aggregation)."""
+    o = _load(spark, sf_dir, "orders")["orders"]
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    alias = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.count(F.when(F.col("o_orderpriority") == p, 1)).alias(a)
+            for p, a in zip(pri, alias)
+        ]
+    )
+
+
+def _sql_p1() -> str:
+    return """
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+           count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+    FROM orders GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -803,7 +980,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "emb_near_dups": emb_near_dups,
+        "text_lang_guess": text_lang_guess,
+        "a1_distinct_users": a1_distinct_users,
+        "p1_pivot_status_priority": p1_pivot_status_priority,
     }
 
 
@@ -831,5 +1014,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "dedup_ngram_jaccard": _sql_dedup_ngram(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
+        # dedup_simhash intentionally absent: xxhash64 has no DuckDB
+        # equivalent -> rows-only check; parity covered in tests/
         "ann_cosine_topk": _sql_ann_topk(),
+        "ann_ivf_topk": _sql_ann_ivf(),
+        "emb_near_dups": _sql_emb_near_dups(),
+        "text_lang_guess": _sql_text_lang_guess(),
+        "a1_distinct_users": _sql_a1(),
+        "p1_pivot_status_priority": _sql_p1(),
     }

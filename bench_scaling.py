@@ -34,22 +34,34 @@ from importtoneo4j_spark.session import get_spark
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_at(cores: int, data: str) -> dict:
+def run_at(cores: int, data: str, repeats: int = 2) -> dict:
+    """Best-of-N pipeline runs at a given core count. The sandbox VM shows
+    2-3x wall-clock swings from I/O writeback between identical runs, so a
+    single sample is meaningless; min-of-repeats approximates the
+    contention-free cost (os.sync between runs to flush dirty pages)."""
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
         time.sleep(2)
     spark = get_spark(f"scale{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
-    work = tempfile.mkdtemp(prefix=f"kg_scale{cores}_")
-    pipe = KGPipeline(spark, data, work, run_id=f"scale-{cores}")
-    m = pipe.run(resume=False)
+    best = None
+    for _ in range(repeats):
+        work = tempfile.mkdtemp(prefix=f"kg_scale{cores}_")
+        pipe = KGPipeline(spark, data, work, run_id=f"scale-{cores}")
+        m = pipe.run(resume=False)
+        shutil.rmtree(work, ignore_errors=True)
+        if best is None or m["wall_sec"] < best["wall_sec"]:
+            best = m
+        os.sync()
+        time.sleep(3)
+    m = best
     checksum = m["materialize"]["checksum"]
-    shutil.rmtree(work, ignore_errors=True)
     n_turns = m["ingest"]["valid"] + m["ingest"]["rejected"]
     spark.stop()
     time.sleep(2)
     return {
         "cores": cores,
+        "stage_secs": m.get("stage_secs", {}),
         "wall_sec": round(m["wall_sec"], 3),
         "turns": n_turns,
         "triples": m["materialize"]["triples"],

@@ -73,6 +73,17 @@ _FILLER = [
 EDGE_TEXTS = [".", "", "   ", "naïve café — unicode ✓ 日本語", "\t\n"]
 
 
+def _gen_chunk(gen, lengths, lo: int, hi: int, path: str, part: int) -> int:
+    """Worker: generate conversations [lo, hi) into one parquet part file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = gen.chunk_pandas(lo, hi, lengths)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
+    return len(pdf)
+
+
 def _entity_names(n: int) -> list[str]:
     names = []
     for i in range(n):
@@ -225,23 +236,41 @@ class TranscriptGenerator:
         lengths = self.conv_lengths(n_convs)
         return self.chunk_pandas(0, n_convs, lengths)
 
-    def write_parquet(self, path: str, n_convs: int, chunk_convs: int = 5000) -> int:
-        """Write transcripts as a multi-file parquet dir; returns row count."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    def write_parquet(
+        self,
+        path: str,
+        n_convs: int,
+        chunk_convs: int = 5000,
+        workers: int | None = None,
+    ) -> int:
+        """Write transcripts as a multi-file parquet dir; returns row count.
 
+        Chunks are seeded independently (per-conversation rng), so they can
+        be generated by a process pool without changing a single byte of
+        output relative to the sequential path."""
         os.makedirs(path, exist_ok=True)
         lengths = self.conv_lengths(n_convs)
-        total = 0
-        part = 0
-        for lo in range(0, n_convs, chunk_convs):
-            hi = min(lo + chunk_convs, n_convs)
-            pdf = self.chunk_pandas(lo, hi, lengths)
-            table = pa.Table.from_pandas(pdf, preserve_index=False)
-            pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
-            total += len(pdf)
-            part += 1
-        return total
+        ranges = [
+            (lo, min(lo + chunk_convs, n_convs), p)
+            for p, lo in enumerate(range(0, n_convs, chunk_convs))
+        ]
+        if workers is None:
+            workers = min(16, os.cpu_count() or 1, len(ranges))
+        if workers <= 1:
+            return sum(
+                _gen_chunk(self, lengths, lo, hi, path, part)
+                for lo, hi, part in ranges
+            )
+        import multiprocessing as mp
+
+        # fork, not spawn: spawn re-imports __main__, which breaks for
+        # stdin-driven scripts; workers only use numpy/pyarrow (fork-safe)
+        with mp.get_context("fork").Pool(workers) as pool:
+            counts = pool.starmap(
+                _gen_chunk,
+                [(self, lengths, lo, hi, path, part) for lo, hi, part in ranges],
+            )
+        return sum(counts)
 
     # ------------------------------------------------------------- conv_meta
     def conv_meta_pandas(self, n_convs: int, run_id: str = "run-001") -> pd.DataFrame:
