@@ -55,6 +55,9 @@ def canonical_triples(extracted: DataFrame, links: DataFrame) -> DataFrame:
         keys=["subj", "pred", "obj"],
         order_by=["conv_id", "turn_idx"],
         payload=["quality", "role"],
+        salt_buckets=1,  # (subj,pred,obj) is fine-grained and min(struct)
+        # partial-aggregates map-side; two-phase salting would double the
+        # shuffle volume for no skew benefit here
     )
     return deduped.select(
         "subj",

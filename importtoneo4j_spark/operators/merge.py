@@ -42,6 +42,14 @@ def first_wins(
     """
     cols = order_by + payload
     strukt = F.struct(*[F.col(c) for c in cols]).alias("_w")
+    if salt_buckets <= 1:
+        # single-phase: hash-aggregate min(struct) partial-merges map-side,
+        # so even a key holding 20% of all rows collapses to one partial row
+        # per task before the shuffle — explicit salting only pays when the
+        # aggregate has no partial (collect_list, exact percentile) or the
+        # skew sits in a join, and it costs a second shuffle here
+        final = df.groupBy(*keys).agg(F.min(strukt).alias("_w"))
+        return final.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in cols])
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_by]), F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)
