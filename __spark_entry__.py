@@ -650,36 +650,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified by exact Jaccard >= 0.5 —
     the scale path (inverted-index join is quadratic in bucket size; LSH
     bounds bucket entropy). md5-based minhash keeps it oracle-identical."""
-    from importtoneo4j_spark.functions.text import jaccard, minhash_bands_agg
+    from importtoneo4j_spark.operators.dedup import minhash_near_dups
 
     d = _load(spark, sf_dir, "documents")["documents"]
-    sh = _doc_shingles(d)
-    sig = minhash_bands_agg(sh, "doc_id", "shingles", 16, 8, 2)
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = (
-        a.join(b, "band_key")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
+    out = minhash_near_dups(
+        d, "doc_id", "text", n=5, num_perm=16, bands=8, rows_per_band=2, threshold=0.5
     )
-    verified = (
-        cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa")), "a_id")
-        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb")), "b_id")
-        .withColumn("jac", F.round(jaccard(F.col("sa"), F.col("sb")), 4))
-        .filter(F.col("jac") >= 0.5)
-        .select("a_id", "b_id", "jac")
-    )
-    return verified
+    return out.select("a_id", "b_id", F.round("jac", 4).alias("jac"))
 
 
 def _sql_dedup_minhash() -> str:
+    from importtoneo4j_spark.functions.text import MINHASH_PRIME, minhash_coeffs
+
     perms = 16
     bands, rows = 8, 2
-    mh = ", ".join(
-        f"list_min([md5('{p}:' || u) for u in s]) AS m{p}" for p in range(perms)
-    )
+    hexpr = "(('0x' || substr(md5(u), 1, 7))::BIGINT)"
+    mh_terms = []
+    for p in range(perms):
+        a, b = minhash_coeffs(p)
+        mh_terms.append(
+            f"list_min([({a} * {hexpr} + {b}) % {MINHASH_PRIME} for u in s]) AS m{p}"
+        )
+    mh = ", ".join(mh_terms)
     band_keys = ", ".join(
-        f"'{b}|' || md5(m{b * rows} || '|' || m{b * rows + 1})" for b in range(bands)
+        f"'{b}' || '|' || m{b * rows} || '|' || m{b * rows + 1}" for b in range(bands)
     )
     return rf"""
     WITH sh AS (

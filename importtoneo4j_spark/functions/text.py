@@ -93,6 +93,17 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
+# universal-hash MinHash family: one md5 per shingle, then num_perm affine
+# permutations (a_k * h + b_k) mod MINHASH_PRIME. h is the first 7 hex chars
+# of md5 (28 bits), so a_k * h stays < 2^59 — no int64 overflow in either
+# Spark (wrapping) or DuckDB (checked), keeping the oracle bit-identical.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def minhash_coeffs(k: int) -> tuple[int, int]:
+    return 999983 * (k + 1), 1299721 * k + 7
+
+
 def minhash_bands_agg(
     df,
     id_col: str,
@@ -103,33 +114,37 @@ def minhash_bands_agg(
 ):
     """(id, shingles array) DataFrame -> (id, band_key) DataFrame.
 
-    Aggregation-based MinHash: explode shingles, compute ``num_perm`` md5
-    hashes per shingle row, take per-id minimums, derive band keys.
+    Aggregation-based MinHash: explode shingles, hash each shingle ONCE
+    (md5 -> 28-bit int), derive ``num_perm`` affine permutations, take
+    per-id minimums map-side (partial aggregation), concatenate band keys.
 
     Why not a pure column expression: nesting the signature expression into
-    each band key duplicates the whole signature tree per band (16 bands x
-    16 perms = 256 array scans per row — measured ~8x slower). The explode +
-    groupBy form computes exactly one md5 per (shingle, perm) and the
-    partial aggregation (map-side min combine) keeps the shuffle tiny:
-    num_perm fixed-width hex strings per id.
+    each band key duplicates the whole signature tree per band (measured
+    ~8x slower); and hashing once per shingle beats md5-per-(shingle, perm)
+    by ~num_perm in hash cost.
     """
     from pyspark.sql import functions as F  # local to avoid cycle at import
 
     ex = df.select(F.col(id_col), F.explode(F.col(shingles_col)).alias("_sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("_sh")))).alias(f"_m{p}")
-        for p in range(num_perm)
-    ]
+    h = F.conv(F.substring(F.md5(F.col("_sh")), 1, 7), 16, 10).cast("long")
+    ex = ex.select(F.col(id_col), h.alias("_h"))
+    aggs = []
+    for p in range(num_perm):
+        a, b = minhash_coeffs(p)
+        aggs.append(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"_m{p}"
+            )
+        )
     sig = ex.groupBy(id_col).agg(*aggs)
     band_cols = [
-        F.concat(
-            F.lit(f"{b}|"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
-            ),
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[
+                F.col(f"_m{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
         )
         for b in range(bands)
     ]

@@ -80,7 +80,12 @@ def minhash_near_dups(
     sh = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
         F.col(id_col).alias("doc"), token_ngrams(F.col(text_col), n).alias("sh")
     )
+    # materialize once: sh feeds the signature AND both verification joins,
+    # sig feeds both sides of the band self-join — without this each alias
+    # recomputes the full shingle+minhash subplan (measured ~4x cost)
+    sh = sh.localCheckpoint(eager=True)
     sig = minhash_bands_agg(sh, "doc", "sh", num_perm, bands, rows_per_band)
+    sig = sig.localCheckpoint(eager=True)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(b, "band_key")
