@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the optimizations we rely on must actually
+appear in the executed plans (SURVEY.md §4 — verify with explain)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q6_filter_pushdown(spark):
+    """Filters must reach the parquet scan as PushedFilters."""
+    df = entry_mod.q6_forecast_revenue(spark, SF_DIR)
+    scan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [" in scan
+    assert "l_shipdate" in scan.split("PushedFilters")[1][:300]
+
+
+def test_q1_column_pruning(spark):
+    """The q1 scan must read only the needed columns, not all 11."""
+    df = entry_mod.q1_pricing_summary(spark, SF_DIR)
+    scan = df._jdf.queryExecution().sparkPlan().toString()
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_dims(spark):
+    """nation/region/supplier must broadcast, not sort-merge."""
+    df = entry_mod.q5_nation_revenue(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_kg_flagship_broadcasts(spark):
+    df = entry_mod.kg_flagship(spark, SF_DIR)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    """Aggregation queries stay inside whole-stage codegen. AQE reports the
+    final plan only after execution, so run the query first."""
+    for name in ["q1_pricing_summary", "c8_dynamic_rel_type", "a6_guarded_ratio"]:
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        df.collect()
+        assert "WholeStageCodegen" in plan_of(df), name
+
+
+def test_no_python_udf_outside_extraction(spark):
+    """Python crosses the JVM boundary ONLY in the extraction operator:
+    every driver query must compile to a plan free of Python evals."""
+    for name, q in entry_mod.queries().items():
+        plan = plan_of(q(spark, SF_DIR))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in plan, f"{name} contains {marker}"
+
+
+def test_extraction_is_arrow_batched(spark, gen):
+    """...and the extraction itself uses the Arrow path (MapInPandas),
+    never row-at-a-time BatchEvalPython."""
+    from importtoneo4j_spark.operators.extract import extract_assertions
+    from importtoneo4j_spark.sources.transcripts import with_stable_order
+
+    df = with_stable_order(spark.createDataFrame(gen.turns_pandas(5)))
+    plan = plan_of(extract_assertions(df))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_first_wins_has_partial_aggregation(spark):
+    """The dedup aggregate must partial-merge map-side (skew defense)."""
+    from importtoneo4j_spark.operators.merge import first_wins
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = first_wins(e, ["user_id"], ["ts", "event_id"], ["value"], salt_buckets=1)
+    plan = plan_of(df)
+    assert "partial_min" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_anti_join_strategy(spark):
+    df = entry_mod.u2_anti_join_delta(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
