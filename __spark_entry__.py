@@ -901,6 +901,33 @@ def _sql_text_lang_guess() -> str:
     """
 
 
+def c1_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-value metadata parsing (reference C1: ##SAMPLE k=v split,
+    VariantDatabase.java:125-127): extract the numeric k from the props
+    JSON-ish string with a regexp, aggregate per event_type."""
+    e = _load(spark, sf_dir, "events")["events"]
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
+    )
+
+
+def _sql_c1() -> str:
+    return r"""
+    SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k,
+           count(*) FILTER (k IS NULL) AS n_unparsed
+    FROM (SELECT event_type,
+                 CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) = ''
+                      THEN NULL
+                      ELSE CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)
+                 END AS k
+          FROM events)
+    GROUP BY 1
+    """
+
+
 def a1_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation (HashSet dedup A1 analog)."""
     e = _load(spark, sf_dir, "events")["events"]
@@ -979,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "emb_near_dups": emb_near_dups,
         "text_lang_guess": text_lang_guess,
+        "c1_kv_parse": c1_kv_parse,
         "a1_distinct_users": a1_distinct_users,
         "p1_pivot_status_priority": p1_pivot_status_priority,
     }
@@ -1014,6 +1042,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _sql_ann_ivf(),
         "emb_near_dups": _sql_emb_near_dups(),
         "text_lang_guess": _sql_text_lang_guess(),
+        "c1_kv_parse": _sql_c1(),
         "a1_distinct_users": _sql_a1(),
         "p1_pivot_status_priority": _sql_p1(),
     }

@@ -35,6 +35,7 @@ HEADLINE = [
     "text_token_stats",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -87,7 +88,10 @@ def main() -> None:
     import shutil
     import tempfile
 
-    work = tempfile.mkdtemp(prefix="kg_bench_")
+    # tmpfs scratch (same rationale as bench_scaling.py: the sandbox's single
+    # shared disk is not the per-node storage a cluster would have)
+    shm_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="kg_bench_", dir=shm_root)
     pipe = KGPipeline(spark, data, work, run_id="bench")
     m = pipe.run(resume=False)
     shutil.rmtree(work, ignore_errors=True)
