@@ -86,7 +86,14 @@ def extract_assertions(transcripts: DataFrame) -> DataFrame:
         for pdf in batches:
             yield _extract_batch(pdf)
 
-    pruned = transcripts.select("conv_id", "turn_idx", "role", "seq", "text")
+    pruned = (
+        transcripts
+        # JVM-side prefilter: a row without a mention marker can produce no
+        # assertion, so it never pays the Arrow transfer or the Python regex
+        # (~1/3 of turns are noise/edge-case text). Pushed into the scan.
+        .filter(F.col("text").contains("[["))
+        .select("conv_id", "turn_idx", "role", "seq", "text")
+    )
     return pruned.mapInPandas(run, schema=EXTRACTED_DDL)
 
 
