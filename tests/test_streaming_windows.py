@@ -1,0 +1,26 @@
+"""Streaming windowed aggregation == batch windowed aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from importtoneo4j_spark.streaming.windows import run_to_memory, turn_rate_stream
+
+
+def test_turn_rate_stream_matches_batch(spark, small_transcripts_path, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("sw") / "ckpt")
+    df = turn_rate_stream(spark, small_transcripts_path)
+    run_to_memory(df, "turn_rates", ckpt)
+    got = {
+        (r["win_start"], r["role"]): r["n_turns"]
+        for r in spark.sql("SELECT * FROM turn_rates").collect()
+    }
+    batch = (
+        spark.read.parquet(small_transcripts_path)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "role")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("s"), "role", "n")
+    )
+    want = {(r["s"], r["role"]): r["n"] for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
