@@ -945,6 +945,53 @@ def _sql_a1() -> str:
     """
 
 
+def o2_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — Spark
+    percentile == DuckDB quantile_cont."""
+    e = _load(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+def _sql_o2() -> str:
+    return """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY 1
+    """
+
+
+def a7_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with coalesced group markers."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def _sql_a7() -> str:
+    return """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+
 def p1_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts by status x priority (conditional aggregation)."""
     o = _load(spark, sf_dir, "orders")["orders"]
@@ -1008,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_guess": text_lang_guess,
         "c1_kv_parse": c1_kv_parse,
         "a1_distinct_users": a1_distinct_users,
+        "o2_percentiles": o2_percentiles,
+        "a7_cube_totals": a7_cube_totals,
         "p1_pivot_status_priority": p1_pivot_status_priority,
     }
 
@@ -1044,5 +1093,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_guess": _sql_text_lang_guess(),
         "c1_kv_parse": _sql_c1(),
         "a1_distinct_users": _sql_a1(),
+        "o2_percentiles": _sql_o2(),
+        "a7_cube_totals": _sql_a7(),
         "p1_pivot_status_priority": _sql_p1(),
     }
