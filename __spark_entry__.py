@@ -83,7 +83,7 @@ def _sql_kg_flagship() -> str:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")["lineitem"]
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
@@ -119,9 +119,9 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"]
         .filter(F.col("c_mktsegment") == "BUILDING")
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -191,8 +191,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")["lineitem"]
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
@@ -504,6 +504,31 @@ def _sql_text_tokens() -> str:
            round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4)
              AS avg_tokens,
            round(avg(length(text)), 4) AS avg_chars
+    FROM documents GROUP BY 1
+    """
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: word pieces + standalone punctuation via a
+    sub-word regex — the tokenizer-approximation used for training-data
+    budgeting (whitespace counting underestimates punctuated text)."""
+    d = _load(spark, sf_dir, "documents")["documents"]
+    bpe = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)"))
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(bpe).alias("bpe_tokens"),
+        F.sum(ws).alias("ws_tokens"),
+    )
+
+
+def _sql_text_bpe() -> str:
+    return r"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+             AS bpe_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS ws_tokens
     FROM documents GROUP BY 1
     """
 
@@ -1043,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_stable_order_topk": w1_stable_order_topk,
         "w2_sessionize": w2_sessionize,
         "text_token_stats": text_token_stats,
+        "text_bpe_tokens": text_bpe_tokens,
         "text_quality_score": text_quality_score,
         "text_fingerprint": text_fingerprint,
         "dedup_exact": dedup_exact,
@@ -1080,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_stable_order_topk": _sql_w1(),
         "w2_sessionize": _sql_w2(),
         "text_token_stats": _sql_text_tokens(),
+        "text_bpe_tokens": _sql_text_bpe(),
         "text_quality_score": _sql_text_quality(),
         "text_fingerprint": _sql_text_fp(),
         "dedup_exact": _sql_dedup_exact(),
