@@ -26,6 +26,16 @@ def get_spark(
     ``shuffle_partitions`` defaults to the local core count — on a real
     cluster this would be ~2-3x total executor cores and AQE coalesces.
     """
+    # Python workers import this package via PYTHONPATH (the local-mode
+    # equivalent of spark-submit --py-files); driver sys.path does not
+    # propagate, so pin it before the JVM starts
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
