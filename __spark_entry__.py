@@ -931,7 +931,9 @@ def c1_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     VariantDatabase.java:125-127): extract the numeric k from the props
     JSON-ish string with a regexp, aggregate per event_type."""
     e = _load(spark, sf_dir, "events")["events"]
-    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    # try_cast: ANSI mode throws on the '' a non-matching regexp_extract
+    # returns; NULL is also what the oracle's guarded CASE produces
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).try_cast("int")
     return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.round(F.avg("k"), 4).alias("avg_k"),
         F.max("k").alias("max_k"),

@@ -151,6 +151,35 @@ def minhash_bands_agg(
     return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key"))
 
 
+def split_fraction(col: Column) -> tuple[Column, Column]:
+    """'n/m' -> (numerator, denominator) as smallint, null-safe (reference
+    C5: exon/intron rank parsing, VariantDatabase.java:412,425-426)."""
+    parts = F.split(col, "/")
+    num = F.element_at(parts, 1).cast("smallint")
+    den = F.when(F.size(parts) > 1, F.element_at(parts, 2)).cast("smallint")
+    return num, den
+
+
+def sign_to_bool(col: Column) -> Column:
+    """+1/-1 -> true/false, anything else null (reference C7: strand
+    mapping, VariantDatabase.java:407-411 — made total instead of crashing)."""
+    i = col.try_cast("int")  # ANSI mode: plain cast would throw on junk
+    return (
+        F.when(i == 1, F.lit(True))
+        .when(i == -1, F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def scalar_or_list(col: Column) -> Column:
+    """Normalize a value that may be scalar or list into a list (reference
+    C11: the CSQ single-vs-list ClassCastException dispatch,
+    VariantDatabase.java:361-385 — normalized at ingest instead of caught)."""
+    return F.when(col.startswith("["), F.from_json(col, "array<string>")).otherwise(
+        F.array(col)
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two string arrays (candidate verification —
     native array ops, no UDF)."""

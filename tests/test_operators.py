@@ -206,3 +206,28 @@ def test_oracle_extraction_agrees_with_udf(spark, gen):
     n_oracle = sum(len(ASSERTION_RE.findall(t)) for t in texts)
     got = _extract(spark, texts)
     assert len(got) == n_oracle
+
+
+def test_split_fraction(spark):
+    from importtoneo4j_spark.functions.text import split_fraction
+
+    df = spark.createDataFrame([("3/11",), ("5",), (None,)], ["f"])
+    num, den = split_fraction(F.col("f"))
+    got = [tuple(r) for r in df.select(num.alias("n"), den.alias("d")).collect()]
+    assert got == [(3, 11), (5, None), (None, None)]
+
+
+def test_sign_to_bool(spark):
+    from importtoneo4j_spark.functions.text import sign_to_bool
+
+    df = spark.createDataFrame([("1",), ("-1",), ("0",), ("x",)], ["s"])
+    got = [r["b"] for r in df.select(sign_to_bool(F.col("s")).alias("b")).collect()]
+    assert got == [True, False, None, None]
+
+
+def test_scalar_or_list(spark):
+    from importtoneo4j_spark.functions.text import scalar_or_list
+
+    df = spark.createDataFrame([('["a","b"]',), ("c",)], ["v"])
+    got = [r["l"] for r in df.select(scalar_or_list(F.col("v")).alias("l")).collect()]
+    assert got == [["a", "b"], ["c"]]
