@@ -99,12 +99,13 @@ def lsh_candidate_edges(
 
     # hot-bucket cap: a bucket with B members yields B^2 candidate pairs; cap
     # keeps worst-case blocking cost bounded (dropped buckets are countable
-    # via lsh_dropped_buckets below)
-    bucket_sizes = sig.groupBy("band_key").agg(F.count("*").alias("bsz"))
-    capped = sig.join(
-        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band_key"),
-        "band_key",
-    )
+    # via lsh_dropped_buckets below). Window count over band_key instead of
+    # a size-aggregation + join-back: one shuffle, and the band self-join
+    # right after reuses the same band_key partitioning.
+    from pyspark.sql import Window
+
+    bsz = F.count("*").over(Window.partitionBy("band_key"))
+    capped = sig.withColumn("_bsz", bsz).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
 
     a = capped.alias("a")
     b = capped.alias("b")
