@@ -6,7 +6,7 @@ The reference's node identity is exact-string MERGE on a natural key
 * tier 1 — exact match on the normalized surface (norm_key): catches case /
   punctuation variants for free; this IS the reference semantics.
 * tier 2 — explicit same_as assertions extracted from the text ("aka").
-* tier 3 — MinHash-LSH over character 3-gram shingles of the *distinct*
+* tier 3 — MinHash-LSH over character 4-gram shingles of the *distinct*
   norm_key vocabulary (linking runs on vocabulary, never on mentions — at
   10^12 turns the vocabulary is orders of magnitude smaller), banded
   self-equi-join on (band_key), then exact-Jaccard verification with native
