@@ -96,16 +96,7 @@ def lsh_candidate_edges(
     sig = minhash_bands_agg(
         keys, "norm_key", "shingles", num_perm, bands, rows_per_band
     ).cache()
-
-    # hot-bucket cap: a bucket with B members yields B^2 candidate pairs; cap
-    # keeps worst-case blocking cost bounded (dropped buckets are countable
-    # via lsh_dropped_buckets below). Window count over band_key instead of
-    # a size-aggregation + join-back: one shuffle, and the band self-join
-    # right after reuses the same band_key partitioning.
-    from pyspark.sql import Window
-
-    bsz = F.count("*").over(Window.partitionBy("band_key"))
-    capped = sig.withColumn("_bsz", bsz).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    capped = drop_hot_buckets(sig, max_bucket)
 
     a = capped.alias("a")
     b = capped.alias("b")
@@ -129,6 +120,25 @@ def lsh_candidate_edges(
         .select("src", "dst")
     )
     return verified
+
+
+def drop_hot_buckets(
+    sig: DataFrame, max_bucket: int = MAX_BUCKET, key: str = "band_key"
+) -> DataFrame:
+    """Hot-bucket cap: a bucket with B members yields B^2 candidate pairs;
+    the cap bounds worst-case blocking cost (dropped buckets are countable
+    via lsh_dropped_buckets below).
+
+    Two-phase on purpose: groupBy(key).count() partial-aggregates map-side,
+    so a 10^5-member hot bucket collapses to one row per map task *before*
+    any shuffle; the (tiny, hot-keys-only) result then removes members via a
+    left_anti join that AQE broadcasts. The window-count alternative
+    (count over partitionBy(key)) hauls the entire hot bucket — the exact
+    pathology being guarded against — into a single task before the guard
+    can drop it; at a 100x-skewed vocabulary that window IS the straggler.
+    """
+    hot = sig.groupBy(key).count().filter(F.col("count") > max_bucket).select(key)
+    return sig.join(hot, key, "left_anti")
 
 
 def lsh_dropped_buckets(vocab: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:

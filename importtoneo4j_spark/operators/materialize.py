@@ -25,9 +25,13 @@ from importtoneo4j_spark.operators.merge import first_wins, label_union
 def canonical_triples(extracted: DataFrame, links: DataFrame) -> DataFrame:
     """extracted assertions + (surface -> canonical_id) links -> triples.
 
-    Two broadcast-or-shuffle equi-joins map both mention positions to
-    canonical ids (the links table is the small vocabulary side — broadcast
-    at any realistic scale); then a salted first-wins dedup on
+    Two equi-joins map both mention positions to canonical ids. The join
+    strategy is deliberately left to AQE: the links table is the distinct
+    surface vocabulary, which at 10^12 turns is plausibly 10^8-10^9 rows —
+    an unconditional broadcast hint would OOM executors there, while AQE
+    picks broadcast-hash from the *measured* runtime size whenever the
+    vocabulary really is small (verified in tests/test_plans.py and
+    bench_inflated_vocab.py at >=10^6 surfaces). Then a first-wins dedup on
     (subj, pred, obj) keeps the earliest attribution.
     """
     l_subj = links.select(
@@ -38,8 +42,8 @@ def canonical_triples(extracted: DataFrame, links: DataFrame) -> DataFrame:
     )
     mapped = (
         extracted.filter(F.col("kind") == "triple")
-        .join(F.broadcast(l_subj), "subj_surface")
-        .join(F.broadcast(l_obj), "obj_surface")
+        .join(l_subj, "subj_surface")
+        .join(l_obj, "obj_surface")
         .select(
             "subj",
             "pred",
@@ -100,7 +104,9 @@ def canonical_nodes(extracted: DataFrame, links: DataFrame) -> DataFrame:
         F.lit("Object").alias("pos_label"),
         "role",
     )
-    mentions = subj.unionByName(obj).join(F.broadcast(links), "surface")
+    # join strategy AQE-chosen (see canonical_triples docstring): links is
+    # vocabulary-sized, not guaranteed broadcastable at 100 TB
+    mentions = subj.unionByName(obj).join(links, "surface")
     role_label = F.concat(F.lit("MENTIONED_BY_"), F.upper(F.col("role")))
     agg = mentions.groupBy("canonical_id").agg(
         F.min(F.struct("conv_id", "turn_idx", "surface")).alias("_first"),
@@ -114,7 +120,7 @@ def canonical_nodes(extracted: DataFrame, links: DataFrame) -> DataFrame:
     n_surfaces = links.groupBy("canonical_id").agg(
         F.countDistinct("surface").alias("n_surfaces")
     )
-    return agg.join(F.broadcast(n_surfaces), "canonical_id").select(
+    return agg.join(n_surfaces, "canonical_id").select(
         F.col("canonical_id").alias("entity_id"),
         F.col("_first.surface").alias("canonical_surface"),
         "labels",

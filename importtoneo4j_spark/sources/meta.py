@@ -36,13 +36,16 @@ def reject_duplicate_analyses(meta: DataFrame) -> None:
 
 
 def enrich_transcripts(transcripts: DataFrame, meta: DataFrame) -> DataFrame:
-    """Broadcast-join the per-conversation dimension onto the turn stream.
+    """Join the per-conversation dimension onto the turn stream — the set
+    form of the reference's in-memory runInfoNodes cache
+    (VariantDatabase.java:29,158).
 
-    The dimension is conversations-sized (tiny next to turns), so this is a
-    broadcast hash join — the set form of the reference's in-memory
-    runInfoNodes cache (VariantDatabase.java:29,158)."""
+    The dimension is conversations-sized (~1/40 of turns), which is small
+    for one import batch but NOT guaranteed broadcastable at 10^12 turns
+    (10^10 convs ~ 1 TB); the strategy is left to AQE, which broadcasts
+    from the measured runtime size when the dim really is small."""
     dim = meta.select(
         "conv_id", "channel", "worklist_id", "run_id", "analysis_id",
         F.col("pipeline_version").cast("int").alias("pipeline_version"),
     )
-    return transcripts.join(F.broadcast(dim), "conv_id", "left")
+    return transcripts.join(dim, "conv_id", "left")

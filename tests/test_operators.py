@@ -231,3 +231,26 @@ def test_scalar_or_list(spark):
     df = spark.createDataFrame([('["a","b"]',), ("c",)], ["v"])
     got = [r["l"] for r in df.select(scalar_or_list(F.col("v")).alias("l")).collect()]
     assert got == [["a", "b"], ["c"]]
+
+
+def test_drop_hot_buckets_partial_agg_skew(spark):
+    """Skew guard (SURVEY.md §7 hard part 3): a planted 10^5-member hot band
+    key must be dropped by a plan with NO window over band_key — the count
+    must partial-aggregate map-side so the hot bucket never lands whole in
+    one task."""
+    from importtoneo4j_spark.operators.link import drop_hot_buckets
+
+    hot = spark.range(100_000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("norm_key"),
+        F.lit("HOT").alias("band_key"),
+    )
+    cold = spark.createDataFrame(
+        [("a", "b1"), ("b", "b1"), ("c", "b2")], "norm_key string, band_key string"
+    )
+    out = drop_hot_buckets(hot.unionByName(cold), max_bucket=64)
+    rows = out.collect()
+    assert {r["band_key"] for r in rows} == {"b1", "b2"}
+    assert len(rows) == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2

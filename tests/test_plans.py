@@ -101,3 +101,38 @@ def test_anti_join_strategy(spark):
     df = entry_mod.u2_anti_join_delta(spark, SF_DIR)
     plan = plan_of(df)
     assert "LeftAnti" in plan
+
+
+def _tiny_extracted_and_links(spark):
+    extracted = spark.createDataFrame(
+        [
+            ("c1", 1, "triple", "Acme Corp", "ships", "Widget", 0.9, "assistant"),
+            ("c1", 2, "triple", "Widget", "made_by", "Acme Corp", 0.8, "user"),
+            ("c2", 1, "triple", "Acme Corp", "ships", "Gadget", 0.7, "assistant"),
+        ],
+        "conv_id string, turn_idx int, kind string, subj_surface string,"
+        " obj_surface string, pred string, quality double, role string",
+    )
+    links = spark.createDataFrame(
+        [("Acme Corp", "acme corp"), ("Widget", "widget"), ("Gadget", "gadget")],
+        "surface string, canonical_id string",
+    )
+    return extracted, links
+
+
+def test_materialize_joins_are_aqe_chosen(spark):
+    """Scale guard: canonical_triples/canonical_nodes must NOT carry a forced
+    broadcast hint (the vocabulary can be 10^9 rows at 100 TB); with a small
+    links table AQE must still pick broadcast-hash at runtime from measured
+    sizes — both directions asserted."""
+    from importtoneo4j_spark.operators.materialize import (
+        canonical_nodes,
+        canonical_triples,
+    )
+
+    extracted, links = _tiny_extracted_and_links(spark)
+    for df in (canonical_triples(extracted, links), canonical_nodes(extracted, links)):
+        assert "ResolvedHint" not in optimized_of(df)  # no forced strategy
+        df.collect()  # AQE finalizes the physical plan on execution
+        assert "BroadcastHashJoin" in plan_of(df)  # ...and picks broadcast
+        # when the runtime-measured vocabulary actually is small
