@@ -335,6 +335,45 @@ def _sql_j7() -> str:
     """
 
 
+def j1_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 second-pass enrichment (VariantDatabase.java:320-352): an external
+    attribute table is joined on the canonical key and first-wins-merged into
+    the node properties map — an existing property key ('segment') keeps its
+    node value, a new key ('nation_name') is added, and every attribute row
+    must hit a node (crash-on-miss, :336)."""
+    from importtoneo4j_spark.operators.enrich import enrich_nodes
+
+    t = _load(spark, sf_dir, "customer", "nation")
+    nodes = t["customer"].select(
+        F.col("c_custkey").cast("long").alias("entity_id"),
+        F.create_map(F.lit("segment"), F.col("c_mktsegment")).alias("properties"),
+    )
+    attrs = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").cast("long").alias("entity_id"),
+            F.lit("ATTR_MUST_LOSE").alias("segment"),  # collides -> node wins
+            F.col("n_name").alias("nation_name"),  # new key -> added
+        )
+    )
+    enriched = enrich_nodes(nodes, attrs, fail_on_miss=True)
+    return enriched.select(
+        "entity_id",
+        F.col("properties")["segment"].alias("segment"),
+        F.col("properties")["nation_name"].alias("nation_name"),
+    )
+
+
+def _sql_j1_enrich() -> str:
+    return """
+    SELECT CAST(c_custkey AS BIGINT) AS entity_id,
+           c_mktsegment AS segment,
+           n_name AS nation_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """
+
+
 def a3_label_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label set-union (Neo4j.java:243-253) via the engine's two-phase
     collect_set; sorted + joined for a deterministic comparable value."""
@@ -1063,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_total_classification": c9_total_classification,
         "j3_edge_dedup": j3_edge_dedup,
         "j7_first_wins_merge": j7_first_wins_merge,
+        "j1_enrich_lookup": j1_enrich_lookup,
         "a3_label_union": a3_label_union,
         "a6_guarded_ratio": a6_guarded_ratio,
         "u2_anti_join_delta": u2_anti_join_delta,
@@ -1101,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         "c9_total_classification": _sql_c9(),
         "j3_edge_dedup": _sql_j3(),
         "j7_first_wins_merge": _sql_j7(),
+        "j1_enrich_lookup": _sql_j1_enrich(),
         "a3_label_union": _sql_a3(),
         "a6_guarded_ratio": _sql_a6(),
         "u2_anti_join_delta": _sql_u2(),

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from importtoneo4j_spark.operators.canonicalize import assign_canonical_ids
+from importtoneo4j_spark.operators.enrich import enrich_nodes, missing_keys
 from importtoneo4j_spark.operators.extract import extract_assertions
 from importtoneo4j_spark.operators.link import link_edges, mention_vocabulary
 from importtoneo4j_spark.operators.materialize import (
@@ -33,9 +34,10 @@ from importtoneo4j_spark.operators.materialize import (
     canonical_triples,
     lineage_manifest,
 )
-from importtoneo4j_spark.operators.merge import new_keys_only
+from importtoneo4j_spark.operators.merge import assert_unique, new_keys_only
 from importtoneo4j_spark.sources.tables import TableStore
 from importtoneo4j_spark.sources.transcripts import (
+    assert_unique_turns,
     read_transcripts,
     split_valid_rejects,
     with_stable_order,
@@ -51,6 +53,10 @@ class KGPipeline:
     workdir: str
     run_id: str = "run-001"
     mode: str = "overwrite"  # 'overwrite' (ref -n) | 'append' (ref re-run upsert)
+    fail_fast: bool = True  # F4: abort on structural violations (the
+    # reference aborts on duplicate analysisId, Main.java:73-76, and on
+    # constraint violations, Neo4j.java:163-167); opt out to first-wins
+    # through a known-dirty corpus
     metrics: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -84,6 +90,13 @@ class KGPipeline:
         # shuffle once here and reuse the layout
         ordered = ordered.repartition("conv_id")
         n_valid = self._write_counted(ordered, "valid")
+        if self.fail_fast:
+            # F4 fail-fast on the *written* table (cheap column-pruned scan,
+            # no recompute of the ingest plan): a duplicate (conv_id,
+            # turn_idx) would silently skew seq numbering and first-wins
+            # attribution — abort before the marker, like the reference's
+            # constraint abort (Main.java:73-76)
+            assert_unique_turns(self.store.read("valid"))
         n_rej = self._write_counted(rejects, "rejects")
         self.metrics["ingest"] = {"valid": n_valid, "rejected": n_rej}
         self._mark("ingest", valid=n_valid, rejected=n_rej)
@@ -151,6 +164,10 @@ class KGPipeline:
             empty_delta = triples.limit(0)
             self.store.write(empty_delta, "triples_delta")
 
+        if self.fail_fast:
+            # F4 on the graph sink: entity_id is the node MERGE key and must
+            # be unique (Neo4j.java:163-167 throws on >1 index hit)
+            assert_unique(self.store.read("nodes"), ["entity_id"], what="entity_id")
         final = self.store.read("triples")
         lineage = lineage_manifest(
             final, self.run_id, "materialize", hash_cols=["subj", "pred", "obj"]
@@ -185,6 +202,29 @@ class KGPipeline:
             checksum=checksum,
             imported_runs=sorted(set(prev_runs) | {self.run_id}),
         )
+
+    # --------------------------------------------------------- enrich (EP2)
+    def enrich(self, attrs: DataFrame, fail_on_miss: bool | None = None) -> dict:
+        """Second-pass node enrichment (the reference's ``-a`` annotation
+        import, VariantDatabase.java:320-352): join an external attribute
+        table on entity_id, first-wins-merge its columns into the node
+        properties, integrity-check misses. Idempotent: re-applying the same
+        attrs adds nothing (keys already present are first-wins-filtered).
+        Runs after materialize; requires the nodes table."""
+        if not self.store.exists("nodes"):
+            raise ValueError("enrich requires a materialized nodes table")
+        fom = self.fail_fast if fail_on_miss is None else fail_on_miss
+        nodes = self.store.read("nodes")
+        enriched = enrich_nodes(nodes, attrs, fail_on_miss=fom)
+        n_miss = 0 if fom else missing_keys(nodes, attrs).count()
+        # stage through a sibling table: parquet can't overwrite a path
+        # while scanning it
+        n_nodes = self._write_counted(enriched, "nodes_enriched")
+        self.store.write(self.store.read("nodes_enriched"), "nodes")
+        self.store.drop("nodes_enriched")
+        self.metrics["enrich"] = {"nodes": n_nodes, "misses": n_miss}
+        self._mark("enrich", nodes=n_nodes, misses=n_miss)
+        return self.metrics["enrich"]
 
     # ------------------------------------------------------------------- run
     def run(self, resume: bool = True) -> dict:

@@ -62,11 +62,14 @@ def assert_unique_turns(df: DataFrame) -> None:
     """Fail-fast structural check: (conv_id, turn_idx) must be unique —
     the analog of the reference's uniqueness-constraint abort
     (Main.java:73-76, Neo4j.java:163-167)."""
-    dupes = (
-        df.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).limit(1)
+    row = (
+        df.groupBy("conv_id", "turn_idx")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .first()  # one job: first() on the limited plan, no separate count
     )
-    if dupes.count() > 0:
-        row = dupes.first()
+    if row is not None:
         raise ValueError(
             f"duplicate (conv_id, turn_idx): ({row['conv_id']}, {row['turn_idx']})"
         )

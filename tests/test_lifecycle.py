@@ -100,3 +100,70 @@ def test_hot_entity_salting_consistency(spark, tmp_path_factory):
     hot_id = top["entity_id"]
     triples = pipe.triples().filter(F.col("subj") == hot_id)
     assert triples.count() == triples.dropDuplicates(["subj", "pred", "obj"]).count()
+
+
+def test_fail_fast_duplicate_turns_aborts(spark, data, tmp_path_factory):
+    """F4 wired in: a corpus with a duplicated (conv_id, turn_idx) must abort
+    stage_ingest (reference constraint abort, Main.java:73-76); with
+    fail_fast=False the same corpus first-wins through."""
+    dup_path = str(tmp_path_factory.mktemp("dup") / "t")
+    t = spark.read.parquet(data)
+    one = t.limit(1)
+    t.unionByName(one).write.parquet(dup_path)
+
+    work = str(tmp_path_factory.mktemp("dup") / "kg")
+    pipe = KGPipeline(spark, dup_path, work, run_id="r1")
+    with pytest.raises(ValueError, match="duplicate"):
+        pipe.run()
+    assert pipe.store.read_marker("ingest") is None  # aborted pre-marker
+
+    lax_work = str(tmp_path_factory.mktemp("dup") / "kg2")
+    lax = KGPipeline(spark, dup_path, lax_work, run_id="r1", fail_fast=False)
+    m = lax.run()
+    assert m["materialize"]["triples"] > 0
+
+
+def test_enrich_first_wins_and_idempotent(spark, data, tmp_path_factory):
+    """EP2: attrs join adds new property keys, never overwrites existing
+    ones; re-applying the same attrs is a no-op (checksum-stable)."""
+    from importtoneo4j_spark.operators.materialize import global_checksum
+
+    work = str(tmp_path_factory.mktemp("enr") / "kg")
+    pipe = KGPipeline(spark, data, work, run_id="r1")
+    pipe.run()
+    # materialize attrs eagerly: a lazy plan over the nodes parquet would
+    # dangle once enrich overwrites that table
+    ids = [r["entity_id"] for r in pipe.nodes().select("entity_id").collect()]
+    attrs = spark.createDataFrame(
+        [(i, "ext", "LOSER") for i in ids],
+        "entity_id string, source_db string, first_conv_id string",
+    )  # source_db is a new key -> added; first_conv_id exists -> kept
+    m = pipe.enrich(attrs)
+    assert m["misses"] == 0
+    enriched = pipe.nodes()
+    row = enriched.select(
+        F.col("properties")["source_db"].alias("sdb"),
+        F.col("properties")["first_conv_id"].alias("fc"),
+    ).first()
+    assert row["sdb"] == "ext"
+    assert row["fc"] != "LOSER"  # first-wins: original attribution kept
+    c1 = global_checksum(enriched, ["entity_id", "n_mentions"])
+    pipe.enrich(attrs)  # idempotent re-run
+    assert global_checksum(pipe.nodes(), ["entity_id", "n_mentions"]) == c1
+    again = pipe.nodes().select(F.col("properties")["source_db"].alias("s")).first()
+    assert again["s"] == "ext"
+
+
+def test_enrich_miss_aborts_or_counts(spark, data, tmp_path_factory):
+    """Crash-on-miss (VariantDatabase.java:336): an attribute keyed on a
+    nonexistent node aborts under fail_fast and is counted otherwise."""
+    work = str(tmp_path_factory.mktemp("enrmiss") / "kg")
+    pipe = KGPipeline(spark, data, work, run_id="r1")
+    pipe.run()
+    ghost = spark.createDataFrame(
+        [("__no_such_entity__", "x")], "entity_id string, source_db string"
+    )
+    with pytest.raises(ValueError, match="misses"):
+        pipe.enrich(ghost)
+    m = pipe.enrich(ghost, fail_on_miss=False)
+    assert m["misses"] == 1
