@@ -56,27 +56,84 @@ def assign_buckets(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF coarse quantization.
 
     Centroids := the n_centroids vectors with the lowest ids (seeded, no
-    k-means iterations — reproducible and oracle-checkable; swap in k-means||
-    when quality matters more than determinism). Returns (centroids,
-    assignments(id, bucket, vec)). Assignment = argmax cosine, ties to the
-    lowest centroid id; the centroid table broadcasts."""
+    k-means iterations — reproducible and oracle-checkable). Pass
+    ``refine_iters > 0`` to Lloyd-refine the seeds (still deterministic, no
+    RNG — recall quality measured in tests/test_graph_and_ml.py). Returns
+    (centroids, assignments(id, bucket, vec)). Assignment = argmax cosine,
+    ties to the lowest centroid id; the centroid table broadcasts."""
     cents = embeddings.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("ce")
     )
-    scored = embeddings.select(id_col, vec_col).crossJoin(F.broadcast(cents))
-    w = Window.partitionBy(id_col).orderBy(
-        cosine(F.col(vec_col), F.col("ce")).desc(), F.col("centroid_id").asc()
-    )
-    assigned = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select(id_col, F.col("centroid_id").alias("bucket"), vec_col)
-    )
+    if refine_iters > 0:
+        cents = kmeans_refine(embeddings, cents, refine_iters, id_col, vec_col)
+    assigned = _argmax_assign(embeddings, cents, id_col, vec_col)
     return cents, assigned
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the coarse quantizer — fully distributed, no
+    driver-side vectors: assign (map-side argmax aggregate) -> elementwise
+    bucket mean via posexplode + groupBy(bucket, pos) (partial-aggregating
+    avg) -> rebuild the centroid arrays. Deterministic given the seed
+    centroids (no RNG — the k-means|| sampling step is replaced by the
+    lowest-id seeds, which is what keeps ivf_topk oracle-checkable when
+    refinement is off). Buckets that lose all members drop out."""
+    for _ in range(iters):
+        assigned = _argmax_assign(embeddings, cents, id_col, vec_col)
+        means = (
+            assigned.select("bucket", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        )
+        cents = (
+            means.groupBy("bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("bucket").alias("centroid_id"),
+                F.transform("pm", lambda s: s["m"]).alias("ce"),
+            )
+        )
+    return cents
+
+
+def _argmax_assign(
+    embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vectors x broadcast centroids) -> (id, bucket, vec): argmax cosine,
+    ties to the lowest centroid id.
+
+    Shape matters at scale: a max(struct) aggregate, NOT a window argmax.
+    The window (row_number over partitionBy(id)) shuffles all N*K scored
+    rows and sorts them; max(struct(sim, -centroid_id, ...)) partial-
+    aggregates map-side — each map task collapses its K rows per id before
+    the shuffle, so N*K never crosses the wire. centroid_id is unique per
+    (id, centroid) row, so the struct comparison never reaches the payload
+    fields: the winner is deterministic."""
+    scored = embeddings.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+    best = F.max(
+        F.struct(
+            cosine(F.col(vec_col), F.col("ce")).alias("sim"),
+            (-F.col("centroid_id")).alias("neg_cid"),
+            F.col("centroid_id").alias("cid"),
+            F.col(vec_col).alias("v"),
+        )
+    ).alias("_b")
+    return (
+        scored.groupBy(id_col)
+        .agg(best)
+        .select(id_col, F.col("_b.cid").alias("bucket"), F.col("_b.v").alias(vec_col))
+    )
 
 
 def ivf_topk(
@@ -87,12 +144,15 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k: search only the query's nprobe closest buckets.
 
     At 100 TB the assignment table is bucket-partitioned and the probe join
     touches nprobe/n_centroids of the data instead of all of it."""
-    cents, assigned = assign_buckets(embeddings, n_centroids, id_col, vec_col)
+    cents, assigned = assign_buckets(
+        embeddings, n_centroids, id_col, vec_col, refine_iters
+    )
     qc = queries.crossJoin(F.broadcast(cents))
     wq = Window.partitionBy("qid").orderBy(
         cosine(F.col("qe"), F.col("ce")).desc(), F.col("centroid_id").asc()
@@ -114,11 +174,12 @@ def embedding_near_dups(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, blocked by IVF bucket:
     only intra-bucket pairs are scored (near-identical vectors share a
     bucket). Returns (a_id, b_id, sim) with a_id < b_id."""
-    _, assigned = assign_buckets(embeddings, n_centroids, id_col, vec_col)
+    _, assigned = assign_buckets(embeddings, n_centroids, id_col, vec_col, refine_iters)
     a = assigned.select(
         F.col("bucket"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
     )
