@@ -925,13 +925,74 @@ def _sql_emb_near_dups() -> str:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups — no SQL oracle (xxhash64 is Spark-specific);
-    the driver records the weaker rows-only check, and tests/ verify it
-    against the exact n-gram Jaccard pairs."""
+    """SimHash near-dups, fully oracle-checked: the 64 hash bits come from
+    md5 hex (two 32-bit halves via conv), so the per-bit majority votes,
+    16-bit band blocking AND the Hamming verification are reproducible in
+    DuckDB SQL (generated in _sql_dedup_simhash). tests/ additionally verify
+    the pairs against exact n-gram Jaccard."""
     from importtoneo4j_spark.operators.dedup import simhash_near_dups
 
     d = _load(spark, sf_dir, "documents")["documents"]
     return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+
+
+def _sql_dedup_simhash(max_hamming: int = 3, bands: int = 4, n: int = 3) -> str:
+    """Programmatically generated SimHash oracle: 64 vote columns, band
+    values and the Hamming sum are mechanical expansions of the same
+    definitions the Spark operator uses (operators/dedup.py::simhash)."""
+    width = 64 // bands
+
+    def bit(src: str, b: int) -> str:  # bits 0-31 <- lo, 32-63 <- hi
+        part = f"{src}lo" if b < 32 else f"{src}hi"
+        return f"(({part} >> {b % 32}) & 1)"
+
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN {bit('', b)} = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    band_exprs = ", ".join(
+        "'{b}|' || CAST(({terms}) AS VARCHAR)".format(
+            b=b,
+            terms=" + ".join(
+                f"CASE WHEN v{b * width + i} > 0 THEN {1 << i} ELSE 0 END"
+                for i in range(width)
+            ),
+        )
+        for b in range(bands)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN (va.v{b} > 0) <> (vb.v{b} > 0) THEN 1 ELSE 0 END"
+        for b in range(64)
+    )
+    return rf"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                            for i in range(1, len(toks) - {n - 2})]) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= {n}
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+      FROM (SELECT doc_id, unnest(s) AS t FROM sh)
+    ), votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM votes
+    ), cand AS (
+      SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, CAST({hamming} AS INTEGER) AS hamming
+    FROM cand JOIN votes va ON a_id = va.doc_id
+              JOIN votes vb ON b_id = vb.doc_id
+    WHERE {hamming} <= {max_hamming}
+    """
 
 
 def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,8 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "dedup_ngram_jaccard": _sql_dedup_ngram(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
-        # dedup_simhash intentionally absent: xxhash64 has no DuckDB
-        # equivalent -> rows-only check; parity covered in tests/
+        "dedup_simhash": _sql_dedup_simhash(),
         "ann_cosine_topk": _sql_ann_topk(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "emb_near_dups": _sql_emb_near_dups(),

@@ -102,26 +102,51 @@ def minhash_near_dups(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over xxhash64 of
-    the distinct token n-grams. One explode + one wide aggregation, all
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hash_fn: str = "md5"
+) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over a 64-bit hash
+    of the distinct token n-grams. One explode + one wide aggregation, all
     codegen'd. Features are n-grams, not unigrams: on low-entropy vocabularies
     every document's unigram SET is nearly identical and unigram SimHash
-    degenerates (all hashes collide)."""
-    toks = df.select(
+    degenerates (all hashes collide).
+
+    hash_fn='md5' (default) derives the 64 bits from the first 16 hex chars
+    of md5 as two 32-bit halves — md5 hex is identical in Spark and DuckDB,
+    which is what makes the whole near-dup query oracle-checkable in plain
+    SQL (same trick as the MinHash family, functions/text.py:96-99).
+    hash_fn='xxhash64' keeps the cheaper JVM-native hash for production runs
+    that don't need SQL parity."""
+    toks = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
         F.col(id_col).alias("doc"),
         F.explode(token_ngrams(F.col(text_col), n)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+
     def bitmask(b: int):
         # shiftleft stays in the JVM's signed long domain (bit 63 would
         # overflow a Python-literal F.lit)
         return F.shiftleft(F.lit(1).cast("long"), b)
 
+    if hash_fn == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+
+        def bit_set(b: int):
+            return F.col("h").bitwiseAND(bitmask(b)) != 0
+
+    else:  # md5: bits 0-31 from hex chars 9-16 ("lo"), 32-63 from 1-8 ("hi")
+        md = F.md5(F.col("tok"))
+        toks = toks.select(
+            "doc",
+            F.conv(F.substring(md, 1, 8), 16, 10).cast("long").alias("_hi"),
+            F.conv(F.substring(md, 9, 8), 16, 10).cast("long").alias("_lo"),
+        )
+
+        def bit_set(b: int):
+            part = F.col("_lo") if b < 32 else F.col("_hi")
+            return F.shiftright(part, b % 32).bitwiseAND(F.lit(1)) == 1
+
     votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(bitmask(b)) != 0, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(64)
+        F.sum(F.when(bit_set(b), 1).otherwise(-1)).alias(f"v{b}") for b in range(64)
     ]
     agg = toks.groupBy("doc").agg(*votes)
     sim = None
@@ -137,11 +162,12 @@ def simhash_near_dups(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming, blocked on
     16-bit SimHash bands (a pair within distance d < bands must agree on at
     least one band — pigeonhole), verified with bit_count(xor)."""
-    s = simhash(df, id_col, text_col)
+    s = simhash(df, id_col, text_col, hash_fn=hash_fn)
     width = 64 // bands
     mask = (1 << width) - 1
     banded = s.select(
