@@ -29,11 +29,27 @@ from pyspark.sql import functions as F
 
 
 class GraphView:
-    """A queryable view over (nodes, triples) DataFrames."""
+    """A queryable view over (nodes, triples) DataFrames.
+
+    When the nodes table carries the pipeline's ``_bucket`` partition column
+    (hash bucket of entity_id — sources/tables layout, the index-before-load
+    analog of Main.java:69), point lookups by entity_id add the bucket
+    equality so the parquet scan prunes to 1/NODE_BUCKETS of the partitions
+    instead of full-scanning (asserted in tests/test_plans.py). Rel-type
+    filters prune the pred-partitioned triples table the same way."""
 
     def __init__(self, nodes: DataFrame, triples: DataFrame) -> None:
         self.nodes = nodes
         self.triples = triples
+
+    def _by_entity_id(self, df: DataFrame, entity_id) -> DataFrame:
+        from importtoneo4j_spark.operators.materialize import node_bucket
+
+        cond = F.col("entity_id") == F.lit(entity_id)
+        if "_bucket" in df.columns:
+            # node_bucket(lit) is foldable -> becomes a PartitionFilter
+            cond = cond & (F.col("_bucket") == node_bucket(F.lit(entity_id)))
+        return df.filter(cond)
 
     # ------------------------------------------------------------ node scans
     def get_nodes(self, label: str | None = None, **props) -> DataFrame:
@@ -43,13 +59,15 @@ class GraphView:
         df = self.nodes
         if label is not None:
             df = df.filter(F.array_contains(F.col("labels"), label))
+        if "entity_id" in props:
+            df = self._by_entity_id(df, props.pop("entity_id"))
         for k, v in props.items():
             col = F.col(k) if k in df.columns else F.col("properties").getItem(k)
             df = df.filter(col == F.lit(v))
         return df
 
     def get_node_labels(self, entity_id: str) -> list[str]:
-        row = self.nodes.filter(F.col("entity_id") == entity_id).select("labels").first()
+        row = self._by_entity_id(self.nodes, entity_id).select("labels").first()
         return list(row["labels"]) if row else []
 
     def match_unique_node(self, **props) -> DataFrame:

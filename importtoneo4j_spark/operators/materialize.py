@@ -19,7 +19,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from importtoneo4j_spark.operators.merge import first_wins, label_union
+
+# Materialized-layout knobs — the distributed analog of the reference's
+# index-before-load (Main.java:69, VariantDatabase.java:96-111): triples are
+# written partitioned by pred (bounded rel-type vocabulary -> rel-type scans
+# prune partitions) and nodes by a stable hash bucket of entity_id (point
+# lookups prune to 1/NODE_BUCKETS of the files).
+NODE_BUCKETS = 32
+
+
+def node_bucket(entity_id: Column) -> Column:
+    """Stable partition bucket for a node key. Must be the same expression
+    at write time (pipeline) and lookup time (GraphView) — xxhash64 is
+    deterministic and foldable on literals, so Catalyst turns the lookup
+    into a partition filter."""
+    return F.pmod(F.xxhash64(entity_id), F.lit(NODE_BUCKETS))
 
 
 def canonical_triples(extracted: DataFrame, links: DataFrame) -> DataFrame:

@@ -33,6 +33,7 @@ from importtoneo4j_spark.operators.materialize import (
     canonical_nodes,
     canonical_triples,
     lineage_manifest,
+    node_bucket,
 )
 from importtoneo4j_spark.operators.merge import assert_unique, new_keys_only
 from importtoneo4j_spark.sources.tables import TableStore
@@ -137,7 +138,9 @@ class KGPipeline:
         # the triples and the nodes branch (subj + obj unions)
         links = self.store.read("links")
         triples = canonical_triples(extracted, links)
-        nodes = canonical_nodes(extracted, links)
+        nodes = canonical_nodes(extracted, links).withColumn(
+            "_bucket", node_bucket(F.col("entity_id"))
+        )
 
         prev_runs: list[str] = []
         m = self.store.read_marker("materialize")
@@ -147,20 +150,27 @@ class KGPipeline:
             snapshot = self.store.read("triples")
             delta = new_keys_only(triples, snapshot, ["subj", "pred", "obj"])
             self.store.write(delta, "triples_delta")  # ref delta-VCF sink analog
-            self.store.write(self.store.read("triples_delta"), "triples", mode="append")
+            self.store.write(
+                self.store.read("triples_delta"),
+                "triples",
+                mode="append",
+                partition_by=["pred"],
+            )
             nodes_snap = self.store.read("nodes")
             nodes_delta = new_keys_only(nodes, nodes_snap, ["entity_id"])
-            n_nodes_written = self._write_counted(nodes_delta, "nodes", mode="append")
+            n_nodes_written = self._write_counted(
+                nodes_delta, "nodes", mode="append", partition_by=["_bucket"]
+            )
             n_nodes = self.store.read("nodes").count()
         else:
             # NOTE: no repartition("subj") before the write — the hot entity
             # owns ~20% of triples, so hash-partitioning by subj pins that
             # partition to one core (measured: flat materialize time from 8
             # to 32 cores). The dedup's (subj,pred,obj) hash partitioning is
-            # already balanced; subj-locality at scale comes from bucketed
-            # table layout (bucket(N, subj)), not a skewed exchange.
-            self.store.write(triples, "triples")
-            n_nodes = self._write_counted(nodes, "nodes")
+            # already balanced; subj-locality comes from the pred-partitioned
+            # layout below plus bucket(N, subj) on a real catalog.
+            self.store.write(triples, "triples", partition_by=["pred"])
+            n_nodes = self._write_counted(nodes, "nodes", partition_by=["_bucket"])
             empty_delta = triples.limit(0)
             self.store.write(empty_delta, "triples_delta")
 
@@ -220,7 +230,10 @@ class KGPipeline:
         # stage through a sibling table: parquet can't overwrite a path
         # while scanning it
         n_nodes = self._write_counted(enriched, "nodes_enriched")
-        self.store.write(self.store.read("nodes_enriched"), "nodes")
+        pby = ["_bucket"] if "_bucket" in enriched.columns else None
+        self.store.write(
+            self.store.read("nodes_enriched"), "nodes", partition_by=pby
+        )
         self.store.drop("nodes_enriched")
         self.metrics["enrich"] = {"nodes": n_nodes, "misses": n_miss}
         self._mark("enrich", nodes=n_nodes, misses=n_miss)

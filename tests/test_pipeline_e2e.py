@@ -111,3 +111,29 @@ def test_lineage_manifest(run):
     lin = pipe.lineage().toPandas()
     assert (lin["stage"] == "materialize").all()
     assert lin["output_rows"].sum() == metrics["materialize"]["triples"]
+
+
+def test_partitioned_layout_prunes_point_lookups(run):
+    """Index-before-load analog (Main.java:69): rel-type traversals prune
+    the pred-partitioned triples table; entity point lookups prune the
+    bucket-partitioned nodes table — PartitionFilters must appear in the
+    scan, so lookups touch 1/N of the files instead of all of them."""
+    from importtoneo4j_spark.operators.graph import GraphView
+
+    pipe, _ = run
+    g = GraphView(pipe.nodes(), pipe.triples())
+
+    pred = pipe.triples().select("pred").first()["pred"]
+    scan = (
+        g.find_neighbours(pred=pred)._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "PartitionFilters: [" in scan
+    assert "pred" in scan.split("PartitionFilters")[1][:300]
+
+    nid = pipe.nodes().select("entity_id").first()["entity_id"]
+    nscan = (
+        g.get_nodes(entity_id=nid)._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "_bucket" in nscan.split("PartitionFilters")[1][:300]
+    # and the lookup itself still answers correctly through the pruning
+    assert g.get_node_labels(nid)
