@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from importtoneo4j_spark.functions.text import jaccard, minhash_bands_agg
+from importtoneo4j_spark.session import stage_persist
 
 
 def _tokens(text_col: Column) -> Column:
@@ -82,10 +83,12 @@ def minhash_near_dups(
     )
     # materialize once: sh feeds the signature AND both verification joins,
     # sig feeds both sides of the band self-join — without this each alias
-    # recomputes the full shingle+minhash subplan (measured ~4x cost)
-    sh = sh.localCheckpoint(eager=True)
-    sig = minhash_bands_agg(sh, "doc", "sh", num_perm, bands, rows_per_band)
-    sig = sig.localCheckpoint(eager=True)
+    # recomputes the full shingle+minhash subplan (measured ~4x cost).
+    # Persist mode is profile-dependent (SPARK_GRAFT_PERSIST): eager
+    # localCheckpoint locally, DISK_ONLY on a cluster where lineage
+    # recovery matters — see session.stage_persist / SCALE.md.
+    sh = stage_persist(sh)
+    sig = stage_persist(minhash_bands_agg(sh, "doc", "sh", num_perm, bands, rows_per_band))
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(b, "band_key")

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from importtoneo4j_spark.session import stage_persist
 from importtoneo4j_spark.functions.text import (
     char_shingles,
     jaccard,
@@ -84,18 +85,21 @@ def lsh_candidate_edges(
     shingle -> minhash signature -> band keys -> explode -> self-equi-join on
     band key -> distinct pair -> exact-Jaccard verify (native array ops).
     """
-    keys = (
+    keys = stage_persist(
         vocab.select("norm_key")
         .distinct()
         .withColumn("shingles", char_shingles(F.col("norm_key"), SHINGLE_K))
         .withColumn("tokens", token_shingles(F.col("norm_key")))
-        .filter(F.size("shingles") > 0)
-        .cache()  # vocabulary-sized (<< mentions); reused by the self-join
-        # aliases and the verification joins below
+        .filter(F.size("shingles") > 0),
+        mode="memory",  # vocabulary-sized (<< mentions); reused by the
+        # self-join aliases and the verification joins below. memory (not
+        # localCheckpoint): keeps lineage, and the table is small enough
+        # that MEMORY_AND_DISK never spills in practice
     )
-    sig = minhash_bands_agg(
-        keys, "norm_key", "shingles", num_perm, bands, rows_per_band
-    ).cache()
+    sig = stage_persist(
+        minhash_bands_agg(keys, "norm_key", "shingles", num_perm, bands, rows_per_band),
+        mode="memory",
+    )
     capped = drop_hot_buckets(sig, max_bucket)
 
     a = capped.alias("a")

@@ -34,3 +34,24 @@ def test_enrich_broadcast_join(spark, gen, meta_df):
     assert enriched.filter("channel IS NULL").count() == 0
     plan = enriched._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the dim actually broadcasts
+
+
+def test_tablestore_scheme_qualified_paths(spark, tmp_path):
+    """TableStore must work through the Hadoop FileSystem API on
+    scheme-qualified URIs (cluster analog: hdfs:// or s3a:// roots), not
+    os.* — markers, exists, read/write/drop all through one scheme."""
+    from importtoneo4j_spark.sources.tables import TableStore
+
+    root = f"file://{tmp_path}/store"
+    st = TableStore(spark, root)
+    assert not st.exists("t1")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    st.write(df, "t1")
+    assert st.exists("t1")
+    assert st.read("t1").count() == 5
+    st.write_marker("stagex", {"run_id": "r1", "n": 5})
+    assert st.read_marker("stagex") == {"run_id": "r1", "n": 5}
+    st.clear_marker("stagex")
+    assert st.read_marker("stagex") is None
+    st.drop("t1")
+    assert not st.exists("t1")

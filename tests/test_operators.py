@@ -254,3 +254,20 @@ def test_drop_hot_buckets_partial_agg_skew(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_stage_persist_modes(spark):
+    """Cluster/local cache-discipline knob (SCALE.md §cache-discipline)."""
+    from importtoneo4j_spark.session import stage_persist
+
+    df = spark.range(10)
+    assert stage_persist(df, "none") is df
+    d = stage_persist(df, "disk")
+    assert d.storageLevel.useDisk and not d.storageLevel.useMemory
+    d.unpersist()
+    m = stage_persist(df, "memory")
+    assert m.storageLevel.useMemory
+    m.unpersist()
+    assert stage_persist(df, "local_checkpoint").count() == 10
+    with pytest.raises(ValueError):
+        stage_persist(df, "bogus")
