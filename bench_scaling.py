@@ -138,7 +138,11 @@ def main() -> None:
             eff = (runs[4 * c]["turns_per_sec"] / runs[c]["turns_per_sec"]) / 4
             pairs[f"{c}->{4 * c}"] = round(eff, 4)
     out["scaling_efficiency_pairs"] = pairs
-    out["scaling_efficiency"] = max(pairs.values()) if pairs else None
+    # headline = the WORST measured N->4N pair (ADVICE r1: a single key
+    # carrying the best sample reads as cherry-picking); the best-conditions
+    # number stays available under its own explicit name
+    out["scaling_efficiency"] = min(pairs.values()) if pairs else None
+    out["scaling_efficiency_best"] = max(pairs.values()) if pairs else None
     out["result_identical"] = len({r["checksum"] for r in runs.values()}) == 1
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
         json.dump(out, fh, indent=2)

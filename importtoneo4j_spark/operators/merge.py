@@ -94,6 +94,57 @@ def new_keys_only(df: DataFrame, snapshot: DataFrame, keys: list[str]) -> DataFr
     return df.join(snapshot.select(*keys).distinct(), on=keys, how="left_anti")
 
 
+def merge_nodes(snapshot: DataFrame, delta: DataFrame) -> DataFrame:
+    """Cross-run node upsert — the reference accumulates onto existing nodes
+    on re-runs (labels via addNodeLabel Neo4j.java:243-253, properties
+    first-wins via the :236 guard); round 1 froze node attributes at first
+    import (ADVICE r1), this is the fix.
+
+    Full-outer on entity_id:
+      canonical_surface  first-wins (snapshot side — it was seen earlier)
+      labels             set-union, sorted
+      properties         per-key first-wins: snapshot keys kept (including
+                         enrichment keys), delta adds only absent keys
+      n_mentions         summed across runs (cumulative mention count)
+      n_surfaces         greatest (monotone: the delta is computed against
+                         the cumulative links table, so it is >= snapshot
+                         for shared entities)
+
+    Column set = the canonical nodes schema; extra columns in either input
+    (e.g. the _bucket partition column) must be dropped by the caller."""
+    empty_arr = F.array().cast("array<string>")
+    empty_map = F.map_from_arrays(F.array(), F.array()).cast("map<string,string>")
+    s = snapshot.alias("s")
+    d = delta.alias("d")
+    j = s.join(d, F.col("s.entity_id") == F.col("d.entity_id"), "full_outer")
+    sp = F.coalesce(F.col("s.properties"), empty_map)
+    dp = F.coalesce(F.col("d.properties"), empty_map)
+    props = F.map_concat(sp, F.map_filter(dp, lambda k, _: ~F.map_contains_key(sp, k)))
+    return j.select(
+        F.coalesce(F.col("s.entity_id"), F.col("d.entity_id")).alias("entity_id"),
+        F.coalesce(F.col("s.canonical_surface"), F.col("d.canonical_surface")).alias(
+            "canonical_surface"
+        ),
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(F.col("s.labels"), empty_arr),
+                    F.coalesce(F.col("d.labels"), empty_arr),
+                )
+            )
+        ).alias("labels"),
+        props.alias("properties"),
+        (
+            F.coalesce(F.col("s.n_mentions"), F.lit(0))
+            + F.coalesce(F.col("d.n_mentions"), F.lit(0))
+        ).alias("n_mentions"),
+        F.greatest(
+            F.coalesce(F.col("s.n_surfaces"), F.lit(0)),
+            F.coalesce(F.col("d.n_surfaces"), F.lit(0)),
+        ).alias("n_surfaces"),
+    )
+
+
 def assert_unique(df: DataFrame, keys: list[str], what: str = "key") -> None:
     """Uniqueness-constraint assertion (Neo4j.java:163-167 throws on >1 hit)."""
     dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)

@@ -35,7 +35,11 @@ from importtoneo4j_spark.operators.materialize import (
     lineage_manifest,
     node_bucket,
 )
-from importtoneo4j_spark.operators.merge import assert_unique, new_keys_only
+from importtoneo4j_spark.operators.merge import (
+    assert_unique,
+    merge_nodes,
+    new_keys_only,
+)
 from importtoneo4j_spark.sources.tables import TableStore
 from importtoneo4j_spark.sources.transcripts import (
     assert_unique_turns,
@@ -74,6 +78,10 @@ class KGPipeline:
     def _already_imported(self) -> bool:
         m = self.store.read_marker("materialize")
         return bool(m and self.run_id in m.get("imported_runs", []))
+
+    def _prev_runs(self) -> list[str]:
+        m = self.store.read_marker("materialize")
+        return m.get("imported_runs", []) if m else []
 
     # ---------------------------------------------------------------- stages
     def _write_counted(self, df: DataFrame, name: str, **write_kwargs) -> int:
@@ -123,13 +131,27 @@ class KGPipeline:
         vocab = self.store.read("vocab")
         edges = self.store.read("link_edges")
         links = assign_canonical_ids(vocab, edges)
-        obs = Observation("entities")
-        self.store.write(
-            links.observe(obs, F.approx_count_distinct("canonical_id").alias("n")),
-            "links",
-        )
-        n = int(obs.get["n"])  # approx is fine for a metric; exact count
-        # would need a distinct shuffle just for observability
+        if self.mode == "append" and self.store.exists("links") and self._prev_runs():
+            # cross-run id stability: a surface already in the snapshot keeps
+            # its canonical_id; only genuinely new surfaces are appended with
+            # this run's assignment. Limitation (documented): new evidence
+            # that would MERGE two existing entities needs an overwrite
+            # re-canonicalization (the periodic batch fold — see
+            # streaming/incremental.py docstring); the reference has the
+            # same property, since it MERGEs on exact keys only.
+            fresh = new_keys_only(links, self.store.read("links"), ["surface"])
+            self.store.write(fresh, "links", mode="append")
+            n = self.store.read("links").select(
+                F.approx_count_distinct("canonical_id").alias("n")
+            ).first()["n"]
+        else:
+            obs = Observation("entities")
+            self.store.write(
+                links.observe(obs, F.approx_count_distinct("canonical_id").alias("n")),
+                "links",
+            )
+            n = int(obs.get["n"])  # approx is fine for a metric; exact count
+            # would need a distinct shuffle just for observability
         self.metrics["canonicalize"] = {"entities": n}
         self._mark("canonicalize", entities=n)
 
@@ -142,10 +164,7 @@ class KGPipeline:
             "_bucket", node_bucket(F.col("entity_id"))
         )
 
-        prev_runs: list[str] = []
-        m = self.store.read_marker("materialize")
-        if m:
-            prev_runs = m.get("imported_runs", [])
+        prev_runs = self._prev_runs()
         if self.mode == "append" and self.store.exists("triples") and prev_runs:
             snapshot = self.store.read("triples")
             delta = new_keys_only(triples, snapshot, ["subj", "pred", "obj"])
@@ -156,12 +175,20 @@ class KGPipeline:
                 mode="append",
                 partition_by=["pred"],
             )
-            nodes_snap = self.store.read("nodes")
-            nodes_delta = new_keys_only(nodes, nodes_snap, ["entity_id"])
-            n_nodes_written = self._write_counted(
-                nodes_delta, "nodes", mode="append", partition_by=["_bucket"]
+            # node upsert (not insert-new-only): labels/surfaces/mention
+            # counts accumulate onto existing nodes across runs, matching
+            # the reference's re-run MERGE (addNodeLabel) — ADVICE r1 fix.
+            # Staged through a sibling table: parquet can't overwrite the
+            # path it is scanning.
+            nodes_snap = self.store.read("nodes").drop("_bucket")
+            merged = merge_nodes(nodes_snap, nodes.drop("_bucket")).withColumn(
+                "_bucket", node_bucket(F.col("entity_id"))
             )
-            n_nodes = self.store.read("nodes").count()
+            n_nodes = self._write_counted(merged, "nodes_next")
+            self.store.write(
+                self.store.read("nodes_next"), "nodes", partition_by=["_bucket"]
+            )
+            self.store.drop("nodes_next")
         else:
             # NOTE: no repartition("subj") before the write — the hot entity
             # owns ~20% of triples, so hash-partitioning by subj pins that

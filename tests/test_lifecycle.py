@@ -167,3 +167,62 @@ def test_enrich_miss_aborts_or_counts(spark, data, tmp_path_factory):
         pipe.enrich(ghost)
     m = pipe.enrich(ghost, fail_on_miss=False)
     assert m["misses"] == 1
+
+
+def test_streaming_retry_is_idempotent(spark, data, tmp_path_factory):
+    """foreachBatch is at-least-once: re-running the same epoch (simulated
+    sink retry) must not duplicate assertions, and rejects are quarantined."""
+    from importtoneo4j_spark.streaming.incremental import make_process_batch
+
+    out = str(tmp_path_factory.mktemp("retry") / "out")
+    rej = str(tmp_path_factory.mktemp("retry") / "rej")
+    batch = spark.read.parquet(data)
+    pb = make_process_batch(out, rej)
+    pb(batch, 0)
+    n1 = spark.read.parquet(out).count()
+    r1 = spark.read.parquet(rej).count()
+    pb(batch, 0)  # retry of the same micro-batch
+    assert spark.read.parquet(out).count() == n1
+    assert spark.read.parquet(rej).count() == r1
+    assert r1 > 0  # quarantined, not dropped
+    pb(batch.limit(200), 1)  # a NEW epoch appends its own partition
+    assert spark.read.parquet(out).count() > n1
+
+
+def test_append_accumulates_node_attributes(spark, tmp_path_factory):
+    """ADVICE r1: on append, existing nodes must gain new labels and mention
+    counts from the new run (reference addNodeLabel accumulation), and
+    surfaces keep their run-1 canonical ids."""
+    gen = TranscriptGenerator(seed=7, n_entities=60)
+    full_path = str(tmp_path_factory.mktemp("acc") / "full")
+    gen.write_parquet(full_path, n_convs=30)
+    half_path = str(tmp_path_factory.mktemp("acc") / "half")
+    spark.read.parquet(full_path).filter(
+        F.col("conv_id") < "conv-0000015"
+    ).write.parquet(half_path)
+
+    work = str(tmp_path_factory.mktemp("acc") / "kg")
+    p1 = KGPipeline(spark, half_path, work, run_id="r1")
+    p1.run()
+    before = {
+        r["entity_id"]: (set(r["labels"]), r["n_mentions"])
+        for r in p1.nodes().collect()
+    }
+
+    p2 = KGPipeline(spark, full_path, work, run_id="r2", mode="append")
+    for s in ["ingest", "extract", "link", "canonicalize"]:
+        p2.store.clear_marker(s)
+    p2.run(resume=False)
+    after = {
+        r["entity_id"]: (set(r["labels"]), r["n_mentions"])
+        for r in p2.nodes().collect()
+    }
+    assert set(before) <= set(after)  # run-1 ids survive (id stability)
+    grew_mentions = sum(
+        1 for e in before if after[e][1] > before[e][1]
+    )
+    assert grew_mentions > 0  # cumulative mention counts
+    assert all(before[e][0] <= after[e][0] for e in before)  # labels accumulate
+    # uniqueness invariant survives the upsert
+    n = p2.nodes()
+    assert n.count() == n.select("entity_id").distinct().count()
