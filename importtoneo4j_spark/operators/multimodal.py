@@ -1,16 +1,26 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partition-friendly
-UDF signatures) is real and tested; the actual codec calls are stubbed
-behind ``try: import`` gates because the decode libraries (PIL, soundfile,
-av) are not in this container. When absent, ``decode_fake=True`` produces a
-deterministic fake derived from the payload bytes so the downstream plumbing
-(feature extraction, resizing, frame sampling) is exercised end-to-end.
+UDF signatures) is real and tested, and so is one REAL codec per modality
+that needs no external library:
+
+* audio/wav  — stdlib ``wave``: PCM decode -> duration, RMS, zero-crossing
+               rate, coarse band energies.
+* image/bmp  — ``struct``-parsed uncompressed 24-bit BMP -> dimensions,
+               channel means, luminance spread.
+
+Formats beyond these (PNG/JPEG via PIL, MP4 via av) stay behind import-try
+gates: when the library is absent the row is marked ``no_codec`` (feature
+NULL) instead of silently faking — the deterministic fake path remains
+available explicitly via ``decode_fake=True`` for plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -44,62 +54,174 @@ try:  # pragma: no cover - not present in this container
 except ImportError:
     pass
 
+FEATURE_DIM = 8
+
+
+# ------------------------------------------------------------- real codecs
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float[-1,1] mono -> 16-bit PCM WAV bytes (stdlib)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes -> (rate, float32 mono samples in [-1,1]) — stdlib wave."""
+    with wave.open(io.BytesIO(b), "rb") as w:
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got sampwidth={width}")
+    x = np.frombuffer(raw, dtype="<i2").astype("float32") / 32768.0
+    if nch > 1:  # downmix
+        x = x.reshape(-1, nch).mean(axis=1)
+    return rate, x
+
+
+def encode_bmp(pix: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit BMP bytes."""
+    h, wd = pix.shape[:2]
+    row_pad = (4 - (wd * 3) % 4) % 4
+    body = bytearray()
+    for row in pix[::-1]:  # BMP stores bottom-up, BGR
+        body += row[:, ::-1].astype(np.uint8).tobytes() + b"\x00" * row_pad
+    size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, wd, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> (H, W, 3) uint8 RGB — pure struct."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, wd, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", b, 26)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    flip = h > 0
+    h = abs(h)
+    row_pad = (4 - (wd * 3) % 4) % 4
+    stride = wd * 3 + row_pad
+    rows = []
+    for r in range(h):
+        row = np.frombuffer(b, dtype=np.uint8, count=wd * 3, offset=offset + r * stride)
+        rows.append(row.reshape(wd, 3)[:, ::-1])  # BGR -> RGB
+    pix = np.stack(rows)
+    return pix[::-1] if flip else pix
+
+
+def _audio_feature(b: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    rate, x = decode_wav(b)
+    if len(x) == 0:
+        return [0.0] * dim
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+    bands = np.array_split(x, 4)
+    f = [
+        len(x) / rate,  # duration s
+        float(np.sqrt(np.mean(x**2))),  # rms
+        zcr,
+        float(np.max(np.abs(x))),
+        *[float(np.sqrt(np.mean(seg**2))) if len(seg) else 0.0 for seg in bands],
+    ]
+    return [float(v) for v in f[:dim]] + [0.0] * max(0, dim - len(f))
+
+
+def _image_feature(b: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    pix = decode_bmp(b).astype("float32") / 255.0
+    h, wd = pix.shape[:2]
+    luma = pix @ np.array([0.299, 0.587, 0.114], dtype="float32")
+    f = [
+        float(wd),
+        float(h),
+        float(pix[..., 0].mean()),
+        float(pix[..., 1].mean()),
+        float(pix[..., 2].mean()),
+        float(luma.mean()),
+        float(luma.std()),
+        float(luma.max() - luma.min()),
+    ]
+    return [float(v) for v in f[:dim]] + [0.0] * max(0, dim - len(f))
+
 
 def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic media table with REAL payloads for wav/bmp (so the real
+    decode path is exercised end-to-end) and opaque bytes for video."""
     rng = np.random.default_rng([seed, 77])
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=256 + (i % 512), dtype=np.uint8).tobytes()
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + i % 32 if kind != "audio" else None,
-                48 + i % 16 if kind != "audio" else None,
-                1000 + 10 * i if kind != "image" else None,
-            )
-        )
+        if kind == "image":
+            wd, h = 16 + i % 8, 12 + i % 4
+            payload = encode_bmp(rng.integers(0, 256, size=(h, wd, 3), dtype=np.uint8))
+            mime, width, height, dur = "image/bmp", wd, h, None
+        elif kind == "audio":
+            t = np.arange(800 + 16 * (i % 50)) / 8000.0
+            payload = encode_wav(0.5 * np.sin(2 * np.pi * (200 + 5 * i) * t))
+            mime, width, height, dur = "audio/wav", None, None, int(len(t) / 8)
+        else:
+            payload = rng.integers(0, 256, size=256 + (i % 512), dtype=np.uint8).tobytes()
+            mime, width, height, dur = "video/mp4", 64, 48, 1000 + 10 * i
+        rows.append((i, kind, bytearray(payload), mime, width, height, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic feature from payload bytes (stands in for a real
-    decoder+encoder; same shape/dtype contract as the real path)."""
+def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic feature from payload bytes (plumbing tests only; same
+    shape/dtype contract as the real path)."""
     digest = hashlib.sha1(payload).digest()
     raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype="<u4")
     return (raw % 1000).astype("float32") / 1000.0
 
 
-def extract_media_features(media: DataFrame, decode_fake: bool = True) -> DataFrame:
+def _decode_one(kind: str, mime: str | None, b: bytes) -> tuple[list[float] | None, str]:
+    try:
+        if kind == "audio" and (mime or "").endswith("wav"):
+            return _audio_feature(b), "ok"
+        if kind == "image" and (mime or "").endswith("bmp"):
+            return _image_feature(b), "ok"
+        if kind == "image" and _HAVE_PIL:  # pragma: no cover - no PIL here
+            img = PIL.Image.open(io.BytesIO(b)).convert("RGB")
+            return _image_feature(encode_bmp(np.asarray(img))), "ok"
+        return None, "no_codec"
+    except Exception as exc:  # corrupt payload: quarantine, never crash the task
+        return None, f"decode_error:{type(exc).__name__}"
+
+
+def extract_media_features(media: DataFrame, decode_fake: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Batched: each Arrow batch holds many payloads; per-batch numpy work only.
-    The real decode path raises NotImplementedError unless the codec libs
-    are importable (STUB — container has no image/audio libs).
-    """
+    Batched: each Arrow batch holds many payloads; per-row numpy only inside
+    the batch loop. Real codecs: WAV (stdlib) + BMP (struct) + PIL formats
+    when available; anything else -> decode_status='no_codec', feature NULL.
+    decode_fake=True short-circuits to the deterministic fake (plumbing
+    tests / schema contract)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            status = []
-            sha1s = []
-            nb = []
-            for payload in pdf["payload"]:
+            feats: list = []
+            status: list[str] = []
+            sha1s: list[str] = []
+            nb: list[int] = []
+            for kind, mime, payload in zip(pdf["kind"], pdf["mime"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 sha1s.append(hashlib.sha1(b).hexdigest())
                 nb.append(len(b))
-                if decode_fake or not _HAVE_PIL:
+                if decode_fake:
                     feats.append(_fake_feature(b).tolist())
                     status.append("fake")
-                else:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real decode requires PIL/soundfile/av (not in container)"
-                    )
+                else:
+                    f, st = _decode_one(kind, mime, b)
+                    feats.append(f)
+                    status.append(st)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -111,7 +233,7 @@ def extract_media_features(media: DataFrame, decode_fake: bool = True) -> DataFr
                 }
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    return media.select("media_id", "kind", "mime", "payload").mapInPandas(
         run, schema=FEATURE_DDL
     )
 

@@ -94,18 +94,29 @@ class KGPipeline:
     def stage_ingest(self) -> None:
         raw = read_transcripts(self.spark, self.input_path)
         valid, rejects = split_valid_rejects(raw)
-        ordered = with_stable_order(valid)
+        ordered = with_stable_order(valid, flag_dups=self.fail_fast)
         # repartition on conv_id: downstream extraction and ordering windows
         # shuffle once here and reuse the layout
         ordered = ordered.repartition("conv_id")
-        n_valid = self._write_counted(ordered, "valid")
         if self.fail_fast:
-            # F4 fail-fast on the *written* table (cheap column-pruned scan,
-            # no recompute of the ingest plan): a duplicate (conv_id,
-            # turn_idx) would silently skew seq numbering and first-wins
-            # attribution — abort before the marker, like the reference's
-            # constraint abort (Main.java:73-76)
-            assert_unique_turns(self.store.read("valid"))
+            # F4 duplicate-(conv_id, turn_idx) detection piggybacked on the
+            # write job via an Observation over the lag flag the ordering
+            # window already computed — NO second pass over the corpus
+            # (reference constraint abort, Main.java:73-76). Abort before
+            # the marker; the detailed offender lookup runs only on failure.
+            obs = Observation("ingest_rows")
+            to_write = ordered.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_dup").alias("dups"),
+            ).drop("_dup")
+            self.store.write(to_write, "valid")
+            n_valid = int(obs.get["n"])
+            if int(obs.get["dups"] or 0) > 0:
+                assert_unique_turns(self.store.read("valid"))  # raises w/ sample
+                raise ValueError("duplicate (conv_id, turn_idx) detected")
+        else:
+            n_valid = self._write_counted(ordered, "valid")
         n_rej = self._write_counted(rejects, "rejects")
         self.metrics["ingest"] = {"valid": n_valid, "rejected": n_rej}
         self._mark("ingest", valid=n_valid, rejected=n_rej)
@@ -196,8 +207,20 @@ class KGPipeline:
             # to 32 cores). The dedup's (subj,pred,obj) hash partitioning is
             # already balanced; subj-locality comes from the pred-partitioned
             # layout below plus bucket(N, subj) on a real catalog.
-            self.store.write(triples, "triples", partition_by=["pred"])
-            n_nodes = self._write_counted(nodes, "nodes", partition_by=["_bucket"])
+            # sortWithinPartitions = the reference's sort-before-load
+            # (import.sh SortVcf stage, O1): no shuffle, but every parquet
+            # row group is (subj, obj)-ordered -> min/max row-group skipping
+            # on subj point lookups + better RLE/dictionary compression.
+            self.store.write(
+                triples.sortWithinPartitions("subj", "obj"),
+                "triples",
+                partition_by=["pred"],
+            )
+            n_nodes = self._write_counted(
+                nodes.sortWithinPartitions("entity_id"),
+                "nodes",
+                partition_by=["_bucket"],
+            )
             empty_delta = triples.limit(0)
             self.store.write(empty_delta, "triples_delta")
 

@@ -75,13 +75,23 @@ def assert_unique_turns(df: DataFrame) -> None:
         )
 
 
-def with_stable_order(df: DataFrame) -> DataFrame:
+def with_stable_order(df: DataFrame, flag_dups: bool = False) -> DataFrame:
     """Attach a global per-conversation sequence number.
 
     row_number over (conv_id ORDER BY turn_idx, ts) — the explicit form of
     the reference's input-order dependence. Downstream first-wins merges
     order by this column, which is what makes them deterministic under
     parallelism (SURVEY.md §7 hard part 1).
+
+    flag_dups=True adds ``_dup`` (1 when this row repeats the previous
+    row's turn_idx within the conversation) computed by a lag over the SAME
+    window spec — Catalyst fuses it into the one Window node, so the F4
+    duplicate check rides the ordering pass for free instead of costing a
+    second full scan (it would be a second pass over 100 TB).
     """
     w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc(), F.col("ts").asc())
-    return df.withColumn("seq", F.row_number().over(w))
+    out = df.withColumn("seq", F.row_number().over(w))
+    if flag_dups:
+        dup = (F.lag("turn_idx").over(w) == F.col("turn_idx")).cast("int")
+        out = out.withColumn("_dup", F.coalesce(dup, F.lit(0)))
+    return out

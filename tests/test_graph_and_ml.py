@@ -184,18 +184,66 @@ def test_embedding_near_dups_self_consistency(spark, emb):
 
 def test_media_feature_plumbing(spark):
     media = synthetic_media(spark, n=30)
-    feats = extract_media_features(media).collect()
+    feats = extract_media_features(media, decode_fake=True).collect()
     assert len(feats) == 30
     by_id = {r["media_id"]: r for r in feats}
     assert all(len(r["feature"]) == 8 for r in feats)
     assert all(r["decode_status"] == "fake" for r in feats)
     # deterministic: same payload -> same sha1/feature across runs
-    feats2 = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    feats2 = {
+        r["media_id"]: r
+        for r in extract_media_features(media, decode_fake=True).collect()
+    }
     assert all(
         feats2[i]["sha1"] == by_id[i]["sha1"]
         and feats2[i]["feature"] == by_id[i]["feature"]
         for i in by_id
     )
+
+
+def test_media_real_decode_wav_and_bmp(spark):
+    """The REAL decode path: stdlib WAV + struct-parsed BMP features are
+    computed distributed (mapInPandas); video without a codec is marked
+    no_codec, never faked silently."""
+    media = synthetic_media(spark, n=30)
+    rows = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    kinds = {r["media_id"]: r["kind"] for r in media.select("media_id", "kind").collect()}
+    for i, r in rows.items():
+        if kinds[i] in ("image", "audio"):
+            assert r["decode_status"] == "ok", (i, r["decode_status"])
+            assert r["feature"] is not None
+        else:
+            assert r["decode_status"] == "no_codec"
+            assert r["feature"] is None
+
+
+def test_wav_bmp_codec_roundtrip():
+    """Codec correctness against known signals (no Spark needed)."""
+    import numpy as np
+
+    from importtoneo4j_spark.operators.multimodal import (
+        _audio_feature,
+        _image_feature,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    t = np.arange(8000) / 8000.0  # 1 s, 440 Hz, amplitude 0.5
+    rate, x = decode_wav(encode_wav(0.5 * np.sin(2 * np.pi * 440 * t)))
+    assert rate == 8000 and len(x) == 8000
+    f = _audio_feature(encode_wav(0.5 * np.sin(2 * np.pi * 440 * t)))
+    assert abs(f[0] - 1.0) < 1e-3  # duration 1 s
+    assert abs(f[1] - 0.5 / 2**0.5) < 0.01  # sine RMS = A/sqrt(2)
+
+    pix = np.zeros((5, 7, 3), dtype=np.uint8)
+    pix[..., 0] = 200  # red-ish constant image
+    back = decode_bmp(encode_bmp(pix))
+    assert back.shape == (5, 7, 3) and (back == pix).all()
+    g = _image_feature(encode_bmp(pix))
+    assert g[0] == 7.0 and g[1] == 5.0
+    assert abs(g[2] - 200 / 255) < 1e-6 and g[3] == 0.0
 
 
 def test_frame_sample_plan(spark):

@@ -137,3 +137,23 @@ def test_partitioned_layout_prunes_point_lookups(run):
     assert "_bucket" in nscan.split("PartitionFilters")[1][:300]
     # and the lookup itself still answers correctly through the pruning
     assert g.get_node_labels(nid)
+
+
+def test_triples_files_are_sorted_within_partitions(run):
+    """O1 sort-before-load (import.sh SortVcf analog): each written triples
+    file is (subj, obj)-ordered so parquet row-group min/max stats can skip
+    on subj point lookups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    pipe, _ = run
+    files = glob.glob(pipe.store.path("triples") + "/pred=*/*.parquet")
+    assert files
+    checked = 0
+    for f in files[:5]:
+        t = pq.read_table(f, columns=["subj", "obj"]).to_pydict()
+        pairs = list(zip(t["subj"], t["obj"]))
+        assert pairs == sorted(pairs), f
+        checked += 1
+    assert checked > 0
