@@ -374,6 +374,143 @@ def _sql_j1_enrich() -> str:
     """
 
 
+# ------------------------------------------ GraphView operator library (F9/J4/agg)
+
+def _tpch_graph(spark: SparkSession, sf_dir: str):
+    """GraphView over TPC-H-ish tables so the graph operator library
+    (operators/graph.py — Neo4j.java parity) is driver-gate-checked:
+    nodes = customers/suppliers/parts (labels + properties map), edges =
+    customer -ordered-> part and supplier -supplies-> part."""
+    from importtoneo4j_spark.operators.graph import GraphView
+
+    t = _load(spark, sf_dir, "customer", "supplier", "part", "orders", "lineitem")
+    li_ord = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    ordered = li_ord.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("ordered").alias("pred"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+    ).distinct()
+    supplies = t["lineitem"].select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("subj"),
+        F.lit("supplies").alias("pred"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+    ).distinct()
+    triples = ordered.unionByName(supplies)
+    parts = t["part"].select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("entity_id"),
+        F.array(F.lit("Part")).alias("labels"),
+        F.col("p_name").alias("name"),
+        F.create_map(F.lit("brand"), F.col("p_brand")).alias("properties"),
+    )
+    custs = t["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("entity_id"),
+        F.array(F.lit("Customer")).alias("labels"),
+        F.col("c_name").alias("name"),
+        F.create_map(F.lit("segment"), F.col("c_mktsegment")).alias("properties"),
+    )
+    sups = t["supplier"].select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("entity_id"),
+        F.array(F.lit("Supplier")).alias("labels"),
+        F.col("s_name").alias("name"),
+        F.create_map(F.lit("segment"), F.lit("wholesale")).alias("properties"),
+    )
+    return GraphView(parts.unionByName(custs).unionByName(sups), triples)
+
+
+def j4_one_hop_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop traversal join with rel-type + end-label filters, set form
+    (Neo4j.findNeighbourNodes, Neo4j.java:254-277) -> neighbour count per
+    source entity."""
+    g = _tpch_graph(spark, sf_dir)
+    nb = g.find_neighbours(pred="ordered", direction="out", end_label="Part")
+    return nb.groupBy("from_id").agg(F.count("*").alias("n_parts"))
+
+
+def _sql_j4() -> str:
+    return """
+    WITH e AS (SELECT DISTINCT 'C' || o_custkey AS from_id,
+                               'P' || l_partkey AS to_id
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT from_id, count(*) AS n_parts FROM e GROUP BY 1
+    """
+
+
+def f9_label_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label + property node scan (Neo4j.getNodes, Neo4j.java:116-136):
+    array_contains on labels + a properties-map probe."""
+    g = _tpch_graph(spark, sf_dir)
+    hits = g.get_nodes(label="Part", brand="Brand#4")
+    return hits.select(
+        "entity_id", "name", F.col("properties")["brand"].alias("brand")
+    )
+
+
+def _sql_f9() -> str:
+    return """
+    SELECT 'P' || p_partkey AS entity_id, p_name AS name, p_brand AS brand
+    FROM part WHERE p_brand = 'Brand#4'
+    """
+
+
+def g1_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph degree aggregate over the edge table (out-degree + distinct
+    rel-type count per source) — partial-aggregating groupBy, no window."""
+    g = _tpch_graph(spark, sf_dir)
+    return g.degree("out")
+
+
+def _sql_g1() -> str:
+    return """
+    WITH e AS (
+      SELECT DISTINCT 'C' || o_custkey AS subj, 'ordered' AS pred,
+                      'P' || l_partkey AS obj
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT DISTINCT 'S' || l_suppkey, 'supplies', 'P' || l_partkey
+      FROM lineitem
+    )
+    SELECT subj AS entity_id, count(*) AS degree,
+           count(DISTINCT pred) AS n_pred_types
+    FROM e GROUP BY 1
+    """
+
+
+def t3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): latest click at or before each
+    purchase per user — one shuffle + per-key sort, no range cross-join;
+    oracle = DuckDB's native ASOF LEFT JOIN."""
+    from importtoneo4j_spark.operators.temporal import asof_join
+
+    e = _load(spark, sf_dir, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(purchases, clicks, on="user_id", right_cols=["event_id", "value"])
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("last_click_id"),
+        F.round("r_value", 4).alias("click_value"),
+    )
+
+
+def _sql_t3() -> str:
+    return """
+    SELECT l.user_id, l.event_id AS purchase_id, r.event_id AS last_click_id,
+           round(r.value, 4) AS click_value
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT user_id, event_id, value, ts FROM events
+                    WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
 def a3_label_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label set-union (Neo4j.java:243-253) via the engine's two-phase
     collect_set; sorted + joined for a deterministic comparable value."""
@@ -1164,6 +1301,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_edge_dedup": j3_edge_dedup,
         "j7_first_wins_merge": j7_first_wins_merge,
         "j1_enrich_lookup": j1_enrich_lookup,
+        "j4_one_hop_traversal": j4_one_hop_traversal,
+        "f9_label_scan": f9_label_scan,
+        "g1_degree": g1_degree,
+        "t3_asof_join": t3_asof_join,
         "a3_label_union": a3_label_union,
         "a6_guarded_ratio": a6_guarded_ratio,
         "u2_anti_join_delta": u2_anti_join_delta,
@@ -1203,6 +1344,10 @@ def oracle_sql() -> dict[str, str]:
         "j3_edge_dedup": _sql_j3(),
         "j7_first_wins_merge": _sql_j7(),
         "j1_enrich_lookup": _sql_j1_enrich(),
+        "j4_one_hop_traversal": _sql_j4(),
+        "f9_label_scan": _sql_f9(),
+        "g1_degree": _sql_g1(),
+        "t3_asof_join": _sql_t3(),
         "a3_label_union": _sql_a3(),
         "a6_guarded_ratio": _sql_a6(),
         "u2_anti_join_delta": _sql_u2(),

@@ -1,0 +1,92 @@
+"""Temporal joins over event streams.
+
+The reference's domain has no time axis, but a transcript/event corpus at
+100 TB does, and the training-data pipelines this engine targets need the
+classic temporal operator the DataFrame API lacks: the **as-of join**
+("latest right row at or before each left row's timestamp, per key").
+
+Spark-first formulation — a composition of native ops, NOT a range
+cross-join and NOT a UDF:
+
+    tag sides -> unionByName -> one shuffle on the key ->
+    last(right_payload, ignorenulls) over
+        (partitionBy key ORDER BY ts, side ROWS UNBOUNDED PRECEDING..CURRENT)
+    -> keep left rows
+
+Cost: exactly one shuffle + per-key sort (the minimum any as-of needs);
+no row expansion at any point, so a 10^12-row left side never materializes
+candidate pairs. A right row at the same timestamp as a left row matches
+(>= semantics), which is also DuckDB's ASOF JOIN contract — that is what
+makes the operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    right_prefix: str = "r_",
+    how: str = "left",
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """For each left row: the right row with the greatest right_ts <=
+    left_ts in the same key group (ties on timestamp: the right row wins,
+    i.e. equal timestamps match).
+
+    right_cols: payload columns carried from the matched right row (default
+    all non-key, non-ts), emitted as ``{right_prefix}{col}``; the matched
+    timestamp is emitted as ``{right_prefix}{right_ts}``. how='left' keeps
+    unmatched left rows (payload NULL); how='inner' drops them.
+    tolerance_sec bounds the lookback (older matches become NULL/dropped).
+
+    Right-side (key, ts) duplicates are resolved deterministically: the row
+    last in (ts, payload)-struct order wins.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rcols = right_cols or [c for c in right.columns if c not in keys + [right_ts]]
+    pay = F.struct(
+        F.col(right_ts).cast("timestamp").alias("_rts"),
+        *[F.col(c) for c in rcols],
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        pay.alias("_rpay"),
+        F.lit(0).alias("_side"),
+    )
+    l_tagged = (
+        left.withColumn("_ts", F.col(left_ts).cast("timestamp"))
+        .withColumn("_side", F.lit(1))
+    )
+    u = r.unionByName(l_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rpay").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last("_rpay", ignorenulls=True).over(w)
+    if tolerance_sec is not None:
+        lo = F.col("_ts") - F.expr(f"INTERVAL {float(tolerance_sec)} SECONDS")
+        m = F.when(m["_rts"] >= lo, m)
+    out = (
+        u.withColumn("_m", m)
+        .filter(F.col("_side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            F.col("_m._rts").alias(f"{right_prefix}{right_ts}"),
+            *[F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in rcols],
+        )
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"{right_prefix}{right_ts}").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    return out

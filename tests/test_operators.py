@@ -271,3 +271,41 @@ def test_stage_persist_modes(spark):
     assert stage_persist(df, "local_checkpoint").count() == 10
     with pytest.raises(ValueError):
         stage_persist(df, "bogus")
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: latest right <= left ts per key; equal ts matches;
+    tolerance bounds lookback; inner drops unmatched; plan = one window,
+    no cross join."""
+    from importtoneo4j_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", 1),
+         ("u1", "2024-01-01 12:00:00", 2),
+         ("u2", "2024-01-01 09:00:00", 3)],
+        "user string, ts string, lid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:30:00", 10, 1.0),
+         ("u1", "2024-01-01 10:00:00", 11, 2.0),   # equal ts -> matches lid=1
+         ("u1", "2024-01-01 11:59:00", 12, 3.0),
+         ("u2", "2024-01-01 09:30:00", 13, 4.0)],  # after u2's left row
+        "user string, ts string, rid int, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {r["lid"]: r for r in asof_join(left, right, on="user").collect()}
+    assert out[1]["r_rid"] == 11  # equal timestamp wins over 09:30
+    assert out[2]["r_rid"] == 12
+    assert out[3]["r_rid"] is None  # left join keeps unmatched
+
+    inner = asof_join(left, right, on="user", how="inner")
+    assert {r["lid"] for r in inner.collect()} == {1, 2}
+
+    tol = asof_join(left, right, on="user", tolerance_sec=30.0)
+    got = {r["lid"]: r["r_rid"] for r in tol.collect()}
+    # lid=1 matches at 0s lag; lid=2's nearest click is 60s back (> 30s) -> NULL
+    assert got == {1: 11, 2: None, 3: None}
+
+    plan = asof_join(left, right, on="user")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" in plan
