@@ -4,10 +4,13 @@ Usage:
   spark-submit --py-files importtoneo4j_spark.zip -m importtoneo4j_spark ...
   python -m importtoneo4j_spark --input <transcripts> --workdir <dir> \
       [--run-id run-001] [--mode overwrite|append] [--no-resume] \
-      [--master local[32]] [--gen-convs N]
+      [--master local[32]] [--gen-convs N] [--no-fail-fast] \
+      [--enrich <attrs.parquet>] [--enrich-best-effort]
 
 With --gen-convs N and no --input, generates a deterministic synthetic
-corpus first (datagen.py, seed=42).
+corpus first (datagen.py, seed=42). --enrich runs the EP2 second pass (the
+reference's ``-a`` annotation import) after materialize: the parquet must
+carry entity_id plus attribute columns.
 Prints a one-line JSON metrics report on stdout.
 """
 
@@ -31,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
     ap.add_argument("--gen-convs", type=int, default=None)
+    ap.add_argument("--no-fail-fast", action="store_true")
+    ap.add_argument("--enrich", help="EP2 attribute parquet (entity_id + cols)")
+    ap.add_argument("--enrich-best-effort", action="store_true",
+                    help="count misses instead of aborting on them")
     args = ap.parse_args(argv)
 
     spark = get_spark("importtoneo4j_spark", master=args.master)
@@ -43,9 +50,19 @@ def main(argv: list[str] | None = None) -> int:
         TranscriptGenerator().write_parquet(input_path, n_convs=args.gen_convs)
 
     pipe = KGPipeline(
-        spark, input_path, args.workdir, run_id=args.run_id, mode=args.mode
+        spark,
+        input_path,
+        args.workdir,
+        run_id=args.run_id,
+        mode=args.mode,
+        fail_fast=not args.no_fail_fast,
     )
     metrics = pipe.run(resume=not args.no_resume)
+    if args.enrich:
+        pipe.enrich(
+            spark.read.parquet(args.enrich),
+            fail_on_miss=not args.enrich_best_effort,
+        )
     print(json.dumps(metrics, default=str))
     return 0
 

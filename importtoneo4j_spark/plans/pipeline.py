@@ -62,6 +62,10 @@ class KGPipeline:
     # reference aborts on duplicate analysisId, Main.java:73-76, and on
     # constraint violations, Neo4j.java:163-167); opt out to first-wins
     # through a known-dirty corpus
+    bucket_subj: int = 0  # >0: write triples hash-bucketed on subj with
+    # this bucket count (catalog table; co-located self/edge joins run
+    # shuffle-free — SCALE.md bucket(N, subj) layout). 0 (default) keeps
+    # the pred-partitioned parquet-dir layout.
     metrics: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -180,11 +184,21 @@ class KGPipeline:
             snapshot = self.store.read("triples")
             delta = new_keys_only(triples, snapshot, ["subj", "pred", "obj"])
             self.store.write(delta, "triples_delta")  # ref delta-VCF sink analog
+            # appending into a bucketed table would silently break its
+            # bucket guarantee -> demote to plain layout (flat files match
+            # the bucketed dir shape; partitioned appends only on the
+            # pred-partitioned layout)
+            was_bucketed = self.spark.catalog.tableExists(
+                self.store.catalog_name("triples")
+            )
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self.store.catalog_name('triples')}"
+            )
             self.store.write(
                 self.store.read("triples_delta"),
                 "triples",
                 mode="append",
-                partition_by=["pred"],
+                partition_by=None if was_bucketed else ["pred"],
             )
             # node upsert (not insert-new-only): labels/surfaces/mention
             # counts accumulate onto existing nodes across runs, matching
@@ -211,11 +225,20 @@ class KGPipeline:
             # (import.sh SortVcf stage, O1): no shuffle, but every parquet
             # row group is (subj, obj)-ordered -> min/max row-group skipping
             # on subj point lookups + better RLE/dictionary compression.
-            self.store.write(
-                triples.sortWithinPartitions("subj", "obj"),
-                "triples",
-                partition_by=["pred"],
-            )
+            if self.bucket_subj > 0:
+                self.store.write_bucketed(
+                    triples,
+                    "triples",
+                    bucket_cols=["subj"],
+                    n_buckets=self.bucket_subj,
+                    sort_cols=["subj", "obj"],
+                )
+            else:
+                self.store.write(
+                    triples.sortWithinPartitions("subj", "obj"),
+                    "triples",
+                    partition_by=["pred"],
+                )
             n_nodes = self._write_counted(
                 nodes.sortWithinPartitions("entity_id"),
                 "nodes",

@@ -66,11 +66,6 @@ class TableStore:
                 return True
         return False
 
-    def read(self, name: str) -> DataFrame:
-        if self.iceberg:
-            return self.spark.read.table(f"kg.db.{name}")
-        return self.spark.read.parquet(self.path(name))
-
     def write(
         self,
         df: DataFrame,
@@ -85,6 +80,10 @@ class TableStore:
             else:
                 w.append()
             return
+        if mode == "overwrite":
+            # a plain overwrite invalidates any bucketed catalog entry for
+            # this name (external table: metadata only, files are ours)
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog_name(name)}")
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -94,8 +93,62 @@ class TableStore:
         if self.iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS kg.db.{name}")
             return
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog_name(name)}")
         fs, hp = self._fs(self.path(name))
         fs.delete(hp, True)
+
+    # ------------------------------------------------------------- bucketing
+    def catalog_name(self, name: str) -> str:
+        """Session-catalog table name for this store's root (bucket metadata
+        lives in the catalog, not in parquet files)."""
+        import hashlib
+
+        tag = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        return f"kg_{tag}_{name}"
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Hash-bucketed table layout — the co-located-join analog of the
+        reference's index-before-load (Main.java:69): two tables bucketed on
+        the same key with the same bucket count join with NO shuffle on
+        either side (asserted in tests/test_plans.py). Parquet directories
+        cannot carry bucket metadata, so the table registers in the session
+        catalog (Iceberg: bucket partition transform instead)."""
+        if self.iceberg:
+            from pyspark.sql.functions import bucket, col
+
+            w = df.writeTo(f"kg.db.{name}").partitionedBy(
+                bucket(n_buckets, col(bucket_cols[0]))
+            )
+            w.createOrReplace()
+            return
+        w = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.option("path", self.path(name)).saveAsTable(self.catalog_name(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.iceberg:
+            return self.spark.read.table(f"kg.db.{name}")
+        # prefer the catalog entry when one exists: that is where bucket
+        # metadata lives (a path read of the same files works but loses the
+        # shuffle-free join property)
+        if self.spark.catalog.tableExists(self.catalog_name(name)):
+            return self.spark.table(self.catalog_name(name))
+        return self.spark.read.parquet(self.path(name))
 
     # --------------------------------------------------------------- markers
     def marker_path(self, name: str) -> str:

@@ -136,3 +136,49 @@ def test_materialize_joins_are_aqe_chosen(spark):
         df.collect()  # AQE finalizes the physical plan on execution
         assert "BroadcastHashJoin" in plan_of(df)  # ...and picks broadcast
         # when the runtime-measured vocabulary actually is small
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """bucket(N, key) layout (SCALE.md): two tables bucketed on the same key
+    with the same count sort-merge-join with NO hash-partitioning exchange
+    on either side — the co-located-join analog of index-before-load."""
+    from pyspark.sql import functions as F
+
+    from importtoneo4j_spark.sources.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path_factory.mktemp("bkt") / "store"))
+    t1 = spark.range(2000).select(
+        F.concat(F.lit("e"), (F.col("id") % 500).cast("string")).alias("subj"),
+        F.col("id").alias("a"),
+    )
+    t2 = spark.range(1000).select(
+        F.concat(F.lit("e"), (F.col("id") % 500).cast("string")).alias("subj"),
+        (F.col("id") * 2).alias("b"),
+    )
+    store.write_bucketed(t1, "t1", ["subj"], 8, sort_cols=["subj"])
+    store.write_bucketed(t2, "t2", ["subj"], 8, sort_cols=["subj"])
+    j = store.read("t1").join(store.read("t2").hint("merge"), "subj")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # bucket-co-located
+    store.drop("t1")
+    store.drop("t2")
+
+
+def test_pipeline_bucketed_triples_layout(spark, small_transcripts_path, tmp_path_factory):
+    """bucket_subj pipeline option: triples land as a bucketed catalog table,
+    results identical to the plain layout."""
+    from importtoneo4j_spark.plans.pipeline import KGPipeline
+
+    work = str(tmp_path_factory.mktemp("bktp") / "kg")
+    pipe = KGPipeline(spark, small_transcripts_path, work, run_id="r1", bucket_subj=8)
+    m = pipe.run()
+    assert spark.catalog.tableExists(pipe.store.catalog_name("triples"))
+    assert m["materialize"]["triples"] > 0
+    # subj self-join on the bucketed table: no hash-partitioning exchange
+    t = pipe.triples()
+    j = t.select("subj", "pred").join(t.select("subj", "obj").hint("merge"), "subj")
+    j.count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
