@@ -860,6 +860,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a_id", "b_id", F.round("jac", 4).alias("jac"))
 
 
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: near-dup pairs ACROSS two disjoint corpus
+    halves (even vs odd doc_id) — LSH band join A x B, never a self-join."""
+    from importtoneo4j_spark.operators.dedup import cross_corpus_overlap
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    out = cross_corpus_overlap(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        n=5,
+        num_perm=16,
+        bands=8,
+        rows_per_band=2,
+        threshold=0.5,
+    )
+    return out.select("a_id", "b_id", F.round("jac", 4).alias("jac"))
+
+
+def _sql_contamination() -> str:
+    from importtoneo4j_spark.functions.text import MINHASH_PRIME, minhash_coeffs
+
+    perms, bands, rows = 16, 8, 2
+    hexpr = "(('0x' || substr(md5(u), 1, 7))::BIGINT)"
+    mh = ", ".join(
+        f"list_min([({a} * {hexpr} + {b}) % {MINHASH_PRIME} for u in s]) AS m{p}"
+        for p, (a, b) in ((p, minhash_coeffs(p)) for p in range(perms))
+    )
+    band_keys = ", ".join(
+        f"'{b}' || '|' || m{b * rows} || '|' || m{b * rows + 1}" for b in range(bands)
+    )
+    return rf"""
+    WITH sh AS (
+      SELECT doc_id, doc_id % 2 AS par,
+             list_distinct([array_to_string(toks[i:i+4], ' ')
+                            for i in range(1, len(toks) - 3)]) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 5
+    ), mh AS (
+      SELECT doc_id, par, s, {mh} FROM sh
+    ), bands AS (
+      SELECT doc_id, par, unnest([{band_keys}]) AS band_key FROM mh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+      FROM bands a JOIN bands b ON a.band_key = b.band_key
+      WHERE a.par = 0 AND b.par = 1
+    )
+    SELECT a_id, b_id,
+           round(len(list_intersect(sa.s, sb.s)) * 1.0
+                 / len(list_distinct(sa.s || sb.s)), 4) AS jac
+    FROM cand
+    JOIN sh sa ON a_id = sa.doc_id
+    JOIN sh sb ON b_id = sb.doc_id
+    WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+          / len(list_distinct(sa.s || sb.s)) >= 0.5
+    """
+
+
 def _sql_dedup_minhash() -> str:
     from importtoneo4j_spark.functions.text import MINHASH_PRIME, minhash_coeffs
 
@@ -1318,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "contamination_check": contamination_check,
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1361,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "dedup_ngram_jaccard": _sql_dedup_ngram(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "contamination_check": _sql_contamination(),
         "dedup_simhash": _sql_dedup_simhash(),
         "ann_cosine_topk": _sql_ann_topk(),
         "ann_ivf_topk": _sql_ann_ivf(),

@@ -105,6 +105,50 @@ def minhash_near_dups(
     )
 
 
+def cross_corpus_overlap(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_perm: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Train/test contamination check: near-duplicate pairs ACROSS two
+    corpora (never within either) — the question every training pipeline
+    must answer before holding out an eval set.
+
+    Same MinHash-LSH machinery as minhash_near_dups, but the band join is
+    A x B instead of a self-join: candidate cost is bounded by cross-bucket
+    products only, and a 10^9-doc training corpus never pairs with itself.
+    Returns (a_id from corpus_a, b_id from corpus_b, jac >= threshold).
+    """
+    def prep(df: DataFrame) -> DataFrame:
+        sh = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
+            F.col(id_col).alias("doc"), token_ngrams(F.col(text_col), n).alias("sh")
+        )
+        return stage_persist(sh)
+
+    sha, shb = prep(corpus_a), prep(corpus_b)
+    siga = minhash_bands_agg(sha, "doc", "sh", num_perm, bands, rows_per_band)
+    sigb = minhash_bands_agg(shb, "doc", "sh", num_perm, bands, rows_per_band)
+    cand = (
+        siga.alias("a")
+        .join(sigb.alias("b"), "band_key")
+        .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+        .distinct()
+    )
+    return (
+        cand.join(sha.select(F.col("doc").alias("a_id"), F.col("sh").alias("sa")), "a_id")
+        .join(shb.select(F.col("doc").alias("b_id"), F.col("sh").alias("sb")), "b_id")
+        .withColumn("jac", jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("jac") >= threshold)
+        .select("a_id", "b_id", "jac")
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, hash_fn: str = "md5"
 ) -> DataFrame:
