@@ -44,8 +44,8 @@ from importtoneo4j_spark.sources.tables import TableStore
 from importtoneo4j_spark.sources.transcripts import (
     assert_unique_turns,
     read_transcripts,
-    split_valid_rejects,
-    with_stable_order,
+    tag_rejects,
+    with_stable_order_tagged,
 )
 
 STAGES = ["ingest", "extract", "link", "canonicalize", "materialize"]
@@ -96,37 +96,58 @@ class KGPipeline:
         return int(obs.get["n"])
 
     def stage_ingest(self) -> None:
+        """ONE input scan, one write: reject tagging, stable ordering, the
+        F4 duplicate flag and the valid/reject counters all ride the same
+        window + write job (a separate rejects pass would re-read the whole
+        corpus — 2x input I/O at 100 TB). The table lands partitioned by
+        validity, so downstream valid reads partition-prune and the
+        quarantine stays queryable (warn-and-skip F3, never dropped)."""
         raw = read_transcripts(self.spark, self.input_path)
-        valid, rejects = split_valid_rejects(raw)
-        ordered = with_stable_order(valid, flag_dups=self.fail_fast)
+        tagged = with_stable_order_tagged(tag_rejects(raw), flag_dups=self.fail_fast)
         # repartition on conv_id: downstream extraction and ordering windows
         # shuffle once here and reuse the layout
-        ordered = ordered.repartition("conv_id")
+        tagged = tagged.repartition("conv_id").withColumn(
+            "_ok", F.col("reject_reason").isNull()
+        )
+        obs = Observation("ingest_rows")
+        metrics = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_ok").cast("int")).alias("n_valid"),
+        ]
         if self.fail_fast:
-            # F4 duplicate-(conv_id, turn_idx) detection piggybacked on the
-            # write job via an Observation over the lag flag the ordering
-            # window already computed — NO second pass over the corpus
-            # (reference constraint abort, Main.java:73-76). Abort before
-            # the marker; the detailed offender lookup runs only on failure.
-            obs = Observation("ingest_rows")
-            to_write = ordered.observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum("_dup").alias("dups"),
-            ).drop("_dup")
-            self.store.write(to_write, "valid")
-            n_valid = int(obs.get["n"])
-            if int(obs.get["dups"] or 0) > 0:
-                assert_unique_turns(self.store.read("valid"))  # raises w/ sample
-                raise ValueError("duplicate (conv_id, turn_idx) detected")
+            metrics.append(F.sum("_dup").alias("dups"))
+            to_write = tagged.observe(obs, *metrics).drop("_dup")
         else:
-            n_valid = self._write_counted(ordered, "valid")
-        n_rej = self._write_counted(rejects, "rejects")
-        self.metrics["ingest"] = {"valid": n_valid, "rejected": n_rej}
-        self._mark("ingest", valid=n_valid, rejected=n_rej)
+            to_write = tagged.observe(obs, *metrics)
+        self.store.write(to_write, "ingested", partition_by=["_ok"])
+        got = obs.get
+        n, n_valid = int(got["n"]), int(got["n_valid"] or 0)
+        if n == 0:
+            # dynamic partitioning writes no files for an empty frame;
+            # rewrite unpartitioned so the schema survives (empty input ->
+            # 0 triples, not a read error)
+            self.store.write(to_write.limit(0), "ingested")
+        if self.fail_fast and int(got["dups"] or 0) > 0:
+            # abort before the marker (Main.java:73-76); detailed offender
+            # lookup only on the failure path
+            assert_unique_turns(self._valid())  # raises with a sample
+            raise ValueError("duplicate (conv_id, turn_idx) detected")
+        self.metrics["ingest"] = {"valid": n_valid, "rejected": n - n_valid}
+        self._mark("ingest", valid=n_valid, rejected=n - n_valid)
+
+    def _valid(self) -> DataFrame:
+        """The valid-turn view of the ingested table (partition-pruned).
+        The validity flag compares as string: partition-column inference
+        reads the directory value back as 'true'/'false', while the
+        empty-input layout keeps a real boolean column."""
+        return (
+            self.store.read("ingested")
+            .filter(F.col("_ok").cast("string") == "true")
+            .drop("_ok", "reject_reason")
+        )
 
     def stage_extract(self) -> None:
-        valid = self.store.read("valid")
+        valid = self._valid()
         extracted = extract_assertions(valid)
         n = self._write_counted(extracted, "extracted")
         self.metrics["extract"] = {"assertions": n}
@@ -234,16 +255,22 @@ class KGPipeline:
                     sort_cols=["subj", "obj"],
                 )
             else:
-                self.store.write(
+                n_trip = self._write_counted(
                     triples.sortWithinPartitions("subj", "obj"),
                     "triples",
                     partition_by=["pred"],
                 )
+                if n_trip == 0:
+                    self.store.write(triples.limit(0), "triples")
             n_nodes = self._write_counted(
                 nodes.sortWithinPartitions("entity_id"),
                 "nodes",
                 partition_by=["_bucket"],
             )
+            # dynamic partitioning writes no files for empty frames; keep
+            # empty tables readable (schema preserved, unpartitioned)
+            if n_nodes == 0:
+                self.store.write(nodes.limit(0), "nodes")
             empty_delta = triples.limit(0)
             self.store.write(empty_delta, "triples_delta")
 
@@ -348,7 +375,11 @@ class KGPipeline:
         return self.store.read("nodes")
 
     def rejects(self) -> DataFrame:
-        return self.store.read("rejects")
+        return (
+            self.store.read("ingested")
+            .filter(F.col("_ok").cast("string") == "false")
+            .select("conv_id", "turn_idx", "reject_reason")
+        )
 
     def lineage(self) -> DataFrame:
         return self.store.read("lineage")

@@ -38,8 +38,8 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def split_valid_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split into (valid, rejects-with-reason).
+def tag_rejects(df: DataFrame) -> DataFrame:
+    """Attach ``reject_reason`` (NULL = valid row).
 
     Reject reasons (warn-and-skip semantics, VariantDatabase.java:189-192):
       null_conv_id, null_turn_idx, negative_turn_idx, null_or_sentinel_text.
@@ -50,7 +50,16 @@ def split_valid_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         .when(F.col("turn_idx") < 0, "negative_turn_idx")
         .when(nullify_sentinels(F.col("text")).isNull(), "null_or_sentinel_text")
     )
-    tagged = df.withColumn("reject_reason", reason)
+    return df.withColumn("reject_reason", reason)
+
+
+def split_valid_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split into (valid, rejects-with-reason). NOTE: each returned frame
+    re-scans the input when actioned separately — the batch pipeline instead
+    writes ONE validity-partitioned table (stage_ingest), which is the
+    single-input-scan form; this helper remains for streaming micro-batches
+    (already in memory) and tests."""
+    tagged = tag_rejects(df)
     valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
     rejects = tagged.filter(F.col("reject_reason").isNotNull()).select(
         "conv_id", "turn_idx", "reject_reason"
@@ -73,6 +82,38 @@ def assert_unique_turns(df: DataFrame) -> None:
         raise ValueError(
             f"duplicate (conv_id, turn_idx): ({row['conv_id']}, {row['turn_idx']})"
         )
+
+
+def with_stable_order_tagged(df: DataFrame, flag_dups: bool = False) -> DataFrame:
+    """Stable ordering computed over a reject-TAGGED frame in the same
+    single pass that writes the ingest table (one input scan total — the
+    two-table split costs a second full read of the corpus at 100 TB):
+
+    * ``seq``  — cumulative count of VALID rows over (conv_id ORDER BY
+      turn_idx, ts); for valid rows this equals row_number over the valid
+      subset (rejects contribute 0); rejects carry seq NULL.
+    * ``_dup`` — valid row repeating the previous VALID row's turn_idx
+      (lag-equivalent via last(ignorenulls) over the preceding frame).
+
+    All expressions share one window spec -> Catalyst emits ONE Window node.
+    """
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(), F.col("ts").asc()
+    )
+    ok = F.col("reject_reason").isNull()
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.withColumn(
+        "seq", F.when(ok, F.sum(ok.cast("int")).over(run)).cast("int")
+    )
+    if flag_dups:
+        prev = F.last(F.when(ok, F.col("turn_idx")), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = out.withColumn(
+            "_dup",
+            F.coalesce((ok & (prev == F.col("turn_idx"))).cast("int"), F.lit(0)),
+        )
+    return out
 
 
 def with_stable_order(df: DataFrame, flag_dups: bool = False) -> DataFrame:

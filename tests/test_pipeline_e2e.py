@@ -157,3 +157,17 @@ def test_triples_files_are_sorted_within_partitions(run):
         assert pairs == sorted(pairs), f
         checked += 1
     assert checked > 0
+
+
+def test_empty_input_yields_zero_triples(spark, tmp_path_factory):
+    """Empty input -> 0 triples and checksum '0:None', not a read error."""
+    from importtoneo4j_spark.schemas import TRANSCRIPTS
+
+    empty = str(tmp_path_factory.mktemp("empty") / "t")
+    spark.createDataFrame([], TRANSCRIPTS).write.parquet(empty)
+    work = str(tmp_path_factory.mktemp("empty") / "kg")
+    pipe = KGPipeline(spark, empty, work, run_id="r1")
+    m = pipe.run()
+    assert m["materialize"]["triples"] == 0
+    assert m["materialize"]["checksum"] == "0:None"
+    assert pipe.rejects().count() == 0
