@@ -105,9 +105,55 @@ def _run_single(cores: int, n_convs: int, repeats: int) -> None:
     print("RESULT " + json.dumps(run_at(cores, data, repeats=repeats)))
 
 
+def _interleaved(n_convs: int, lo: int, hi: int, cycles: int) -> None:
+    """Noise-immune protocol: alternate (lo, hi) legs so BOTH experience the
+    same box phases — this VM's throughput swings on ~10-minute scales, and
+    the sequential protocol (all lo legs, then all hi legs) can straddle a
+    phase flip, which corrupts the ratio no matter how many repeats each
+    side gets. Efficiency is computed per adjacent (lo, hi) cycle; a cycle
+    whose two legs landed in the same phase shows the true pairing."""
+    import subprocess
+
+    transcripts_path(n_convs)
+    legs: list[tuple[int, dict]] = []
+    for cyc in range(cycles):
+        for c in (lo, hi):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", str(c), str(n_convs), "1"],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+            if not line:
+                raise RuntimeError(f"cores={c} failed: {out.stderr[-2000:]}")
+            legs.append((c, json.loads(line[-1][len("RESULT "):])))
+    pairs = []
+    for i in range(0, len(legs), 2):
+        (c_lo, r_lo), (c_hi, r_hi) = legs[i], legs[i + 1]
+        pairs.append(round((r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (c_hi // c_lo), 4))
+    out = {
+        "n_convs": n_convs,
+        "protocol": f"interleaved {lo}/{hi}-core legs x {cycles} cycles, "
+        "1 run per leg, fresh JVM + pinned CPUs per leg; per-cycle pairing "
+        "cancels slow box phases that straddle the sequential protocol",
+        "legs": [{"cores": c, **r} for c, r in legs],
+        "cycle_efficiencies": pairs,
+        "scaling_efficiency": min(pairs),
+        "scaling_efficiency_best": max(pairs),
+        "result_identical": len({r["checksum"] for _, r in legs}) == 1,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING_INTERLEAVED.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps({k: out[k] for k in ["cycle_efficiencies", "scaling_efficiency", "scaling_efficiency_best", "result_identical"]}))
+
+
 def main() -> None:
     if sys.argv[1:2] == ["--single"]:
         _run_single(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+        return
+    if len(sys.argv) > 2 and sys.argv[2].startswith("interleave:"):
+        lo, hi = (int(x) for x in sys.argv[2][len("interleave:"):].split(","))
+        cycles = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        _interleaved(int(sys.argv[1]), lo, hi, cycles)
         return
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 12_000
     cores = [int(c) for c in (sys.argv[2].split(",") if len(sys.argv) > 2 else [2, 8, 32])]
