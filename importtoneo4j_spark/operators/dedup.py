@@ -2,14 +2,19 @@
 
 * exact_dedup          — content-hash groupBy, keep-min-id (HashSet dedup,
                          reference VariantDatabase.java:357, generalized)
-* ngram_jaccard_pairs  — exact near-dup pairs via inverted-index self-join
-                         on token n-gram shingles (quadratic in bucket size;
-                         fine when shingles are high-entropy)
+* ngram_jaccard_pairs  — exact near-dup pairs via a df-capped inverted-index
+                         self-join on token n-gram shingles (hot shingles are
+                         dropped from BLOCKING only; verification runs on the
+                         full shingle sets)
 * minhash_near_dups    — MinHash-LSH blocking + exact-Jaccard verification;
                          the 100 TB path (md5-based, oracle-identical in SQL)
-* simhash_near_dups    — 64-bit SimHash with banded blocking + Hamming
-                         verification; all native expressions (xxhash64 +
-                         bit ops), no UDF
+* simhash_near_dups    — 128-bit SimHash with 32-bit banded blocking +
+                         Hamming verification; all native expressions, no UDF
+
+Every blocking join here is bucket-capped (the drop_hot_buckets pattern,
+operators/link.py:129): a bucket with B members emits B^2 candidate pairs,
+so one boilerplate shingle / degenerate band value shared by 10^5 documents
+would otherwise be an accidental cartesian product at corpus scale.
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from importtoneo4j_spark.functions.text import jaccard, minhash_bands_agg
+from importtoneo4j_spark.operators.link import drop_hot_buckets
 from importtoneo4j_spark.session import stage_persist
 
 
@@ -43,26 +49,46 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int = 64,
 ) -> DataFrame:
-    sh = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
-        F.col(id_col).alias("doc"), token_ngrams(F.col(text_col), n).alias("sh")
+    """Exact-Jaccard near-dup pairs with document-frequency-pruned blocking.
+
+    Blocking: inverted-index self-join on token n-grams, with shingles whose
+    document frequency exceeds ``max_df`` dropped BEFORE the join (two-phase
+    partial-aggregating count + anti-join — drop_hot_buckets, link.py:129).
+    A boilerplate shingle shared by B documents otherwise yields B^2
+    candidate rows; at a low-entropy corpus that single key is an accidental
+    cartesian product (the reference's analog: dedup-before-expensive-work,
+    VariantDatabase.java:357).
+
+    Verification: exact Jaccard over the FULL shingle sets via native array
+    ops, so the score of every emitted pair is unaffected by the pruning.
+    The standard df-pruning tradeoff applies: a pair whose shared shingles
+    are ALL hotter than ``max_df`` is not discovered.
+    """
+    sh = stage_persist(
+        df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
+            F.col(id_col).alias("doc"), token_ngrams(F.col(text_col), n).alias("sh")
+        )
     )
-    inv = sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-    a, b = inv.alias("a"), inv.alias("b")
-    return (
+    inv = sh.select("doc", F.explode("sh").alias("s"))
+    capped = drop_hot_buckets(inv, max_df, key="s")
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
         a.join(b, "s")
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(
-            F.col("a.doc").alias("a_id"),
-            F.col("b.doc").alias("b_id"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("common"))
-        .withColumn(
-            "jac", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-        )
+        .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+        .distinct()
+    )
+    return (
+        cand.join(sh.select(F.col("doc").alias("a_id"), F.col("sh").alias("sa")), "a_id")
+        .join(sh.select(F.col("doc").alias("b_id"), F.col("sh").alias("sb")), "b_id")
+        .withColumn("jac", jaccard(F.col("sa"), F.col("sb")))
         .filter(F.col("jac") >= threshold)
         .select("a_id", "b_id", "jac")
     )
@@ -77,7 +103,12 @@ def minhash_near_dups(
     bands: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
+    """``max_bucket``: optional hot-band-bucket cap (drop_hot_buckets). The
+    minhash band keys are high-entropy by construction, but a corpus with B
+    exact duplicates of one document still puts all B in every band bucket;
+    run exact_dedup first, or set a cap, when that is a possibility."""
     sh = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
         F.col(id_col).alias("doc"), token_ngrams(F.col(text_col), n).alias("sh")
     )
@@ -89,6 +120,8 @@ def minhash_near_dups(
     # recovery matters — see session.stage_persist / SCALE.md.
     sh = stage_persist(sh)
     sig = stage_persist(minhash_bands_agg(sh, "doc", "sh", num_perm, bands, rows_per_band))
+    if max_bucket is not None:
+        sig = drop_hot_buckets(sig, max_bucket)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(b, "band_key")
@@ -115,6 +148,7 @@ def cross_corpus_overlap(
     bands: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Train/test contamination check: near-duplicate pairs ACROSS two
     corpora (never within either) — the question every training pipeline
@@ -123,6 +157,7 @@ def cross_corpus_overlap(
     Same MinHash-LSH machinery as minhash_near_dups, but the band join is
     A x B instead of a self-join: candidate cost is bounded by cross-bucket
     products only, and a 10^9-doc training corpus never pairs with itself.
+    ``max_bucket`` (optional) caps each side's band buckets before the join.
     Returns (a_id from corpus_a, b_id from corpus_b, jac >= threshold).
     """
     def prep(df: DataFrame) -> DataFrame:
@@ -134,6 +169,9 @@ def cross_corpus_overlap(
     sha, shb = prep(corpus_a), prep(corpus_b)
     siga = minhash_bands_agg(sha, "doc", "sh", num_perm, bands, rows_per_band)
     sigb = minhash_bands_agg(shb, "doc", "sh", num_perm, bands, rows_per_band)
+    if max_bucket is not None:
+        siga = drop_hot_buckets(siga, max_bucket)
+        sigb = drop_hot_buckets(sigb, max_bucket)
     cand = (
         siga.alias("a")
         .join(sigb.alias("b"), "band_key")
@@ -203,37 +241,109 @@ def simhash(
     return agg.select("doc", sim.alias("simhash"))
 
 
+def simhash128(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hash_fn: str = "md5"
+) -> DataFrame:
+    """128-bit SimHash per document as two longs (doc, sim_lo, sim_hi):
+    sim_lo carries bits 0-63, sim_hi bits 64-127. Same per-bit majority vote
+    as simhash(), but using ALL 128 bits md5 already produces — which is
+    what lets the banded blocking use 32-bit band values (2^32 key space)
+    instead of the 64-bit version's 16-bit bands, whose 65,536-key ceiling
+    guarantees quadratic bucket blowup past ~10^6 documents.
+
+    Bit convention (mirrored in the DuckDB oracle): word w = bit // 32,
+    words = [md5 hex chars 9-16, 1-8, 17-24, 25-32] — words 0 and 1 match
+    simhash(hash_fn='md5') exactly. hash_fn='xxhash64' derives the two extra
+    words from a salted second xxhash64 for production runs that don't need
+    SQL parity."""
+    toks = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
+        F.col(id_col).alias("doc"),
+        F.explode(token_ngrams(F.col(text_col), n)).alias("tok"),
+    )
+    if hash_fn == "xxhash64":
+        h0, h1 = F.xxhash64("tok"), F.xxhash64("tok", F.lit(0x5EED))
+        words = [
+            h0.bitwiseAND(F.lit(0xFFFFFFFF)),
+            F.shiftright(h0, 32).bitwiseAND(F.lit(0xFFFFFFFF)),
+            h1.bitwiseAND(F.lit(0xFFFFFFFF)),
+            F.shiftright(h1, 32).bitwiseAND(F.lit(0xFFFFFFFF)),
+        ]
+    else:
+        md = F.md5(F.col("tok"))
+        words = [
+            F.conv(F.substring(md, start, 8), 16, 10).cast("long")
+            for start in (9, 1, 17, 25)
+        ]
+    toks = toks.select("doc", *[w.alias(f"_w{i}") for i, w in enumerate(words)])
+
+    def bit_set(b: int):
+        return F.shiftright(F.col(f"_w{b // 32}"), b % 32).bitwiseAND(F.lit(1)) == 1
+
+    votes = [
+        F.sum(F.when(bit_set(b), 1).otherwise(-1)).alias(f"v{b}") for b in range(128)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+
+    def assemble(lo_bit: int) -> Column:
+        out = None
+        for b in range(64):
+            mask = F.shiftleft(F.lit(1).cast("long"), b)
+            bit = F.when(F.col(f"v{lo_bit + b}") > 0, mask).otherwise(
+                F.lit(0).cast("long")
+            )
+            out = bit if out is None else out.bitwiseOR(bit)
+        return out
+
+    return agg.select("doc", assemble(0).alias("sim_lo"), assemble(64).alias("sim_hi"))
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 3,
-    bands: int = 4,
+    max_hamming: int = 8,
     hash_fn: str = "md5",
+    max_bucket: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance <= max_hamming, blocked on
-    16-bit SimHash bands (a pair within distance d < bands must agree on at
-    least one band — pigeonhole), verified with bit_count(xor)."""
-    s = simhash(df, id_col, text_col, hash_fn=hash_fn)
-    width = 64 // bands
-    mask = (1 << width) - 1
+    """Near-dup pairs with 128-bit Hamming distance <= max_hamming, blocked
+    on four 32-bit SimHash bands (pigeonhole: discovery is GUARANTEED for
+    d <= 3 — four bands, at most three corrupted; above that recall follows
+    the banded-SimHash probability curve, as in every production SimHash
+    index), verified with bit_count(xor) on both halves. Use the MinHash-LSH
+    path when recall at large radii is the requirement; SimHash is the
+    compact, precision-oriented variant (fixed 16-byte state per doc).
+
+    Two scale guards vs the 64-bit/16-bit-band version this replaces:
+    * 32-bit band values — key space 2^32 per band instead of 2^16, so
+      buckets stay small on high-entropy corpora of any size;
+    * drop_hot_buckets(max_bucket) — degenerate content (B exact clones
+      collide on all four bands) is capped before the self-join instead of
+      emitting B^2 candidate rows. Pairs whose only agreeing band is hot
+      are not discovered — the same documented tradeoff as the LSH cap
+      (operators/link.py:129).
+    """
+    s = simhash128(df, id_col, text_col, hash_fn=hash_fn)
+    mask32 = F.lit(0xFFFFFFFF)
+    band_vals = [
+        F.col("sim_lo").bitwiseAND(mask32),
+        F.shiftright(F.col("sim_lo"), 32).bitwiseAND(mask32),
+        F.col("sim_hi").bitwiseAND(mask32),
+        F.shiftright(F.col("sim_hi"), 32).bitwiseAND(mask32),
+    ]
     banded = s.select(
         "doc",
-        "simhash",
+        "sim_lo",
+        "sim_hi",
         F.explode(
             F.array(
                 *[
-                    F.concat(
-                        F.lit(f"{b}|"),
-                        F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .cast("string"),
-                    )
-                    for b in range(bands)
+                    F.concat(F.lit(f"{b}|"), v.cast("string"))
+                    for b, v in enumerate(band_vals)
                 ]
             )
         ).alias("band_key"),
     )
+    banded = drop_hot_buckets(banded, max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, "band_key")
@@ -241,14 +351,18 @@ def simhash_near_dups(
         .select(
             F.col("a.doc").alias("a_id"),
             F.col("b.doc").alias("b_id"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a.sim_lo").alias("la"),
+            F.col("a.sim_hi").alias("ha"),
+            F.col("b.sim_lo").alias("lb"),
+            F.col("b.sim_hi").alias("hb"),
         )
         .distinct()
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            "hamming",
+            F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")

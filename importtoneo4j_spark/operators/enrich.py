@@ -54,6 +54,7 @@ def enrich_nodes(
     key: str = "entity_id",
     props_col: str = "properties",
     fail_on_miss: bool = True,
+    on_duplicate: str = "fail",
 ) -> DataFrame:
     """First-wins property enrichment of existing nodes.
 
@@ -64,12 +65,42 @@ def enrich_nodes(
     ``fail_on_miss=True`` aborts if any attribute key misses a node
     (integrity check, one limit-1 probe job); pass False to enrich
     best-effort and count misses yourself via ``missing_keys``.
+
+    ``on_duplicate`` guards the node-uniqueness invariant: an attribute
+    table with duplicate keys would fan the left join out and the enriched
+    frame would carry duplicated ``key`` rows — silently breaking what
+    fail_fast enforces at materialize (the reference processes annotation
+    records one-at-a-time and can never duplicate a node,
+    VariantDatabase.java:331-345).
+    * 'fail'     (default): one cheap probe job; abort on any duplicate key.
+    * 'min_wins': pre-aggregate duplicates to one map per key, resolving
+      per-attribute conflicts by minimum value — deterministic set-wise
+      (DataFrames have no stable row order for a true "first"-wins).
     """
+    am = _attrs_as_map(attrs, key)
+    if on_duplicate == "fail":
+        dup = (
+            am.groupBy(key).count().filter(F.col("count") > 1).limit(1).first()
+        )
+        if dup is not None:
+            raise ValueError(
+                f"attribute table has duplicate {key}={dup[key]!r}; "
+                "dedupe it or pass on_duplicate='min_wins'"
+            )
+    elif on_duplicate == "min_wins":
+        am = (
+            am.select(F.col(key), F.explode("_attr_map").alias("_k", "_v"))
+            .groupBy(key, "_k")
+            .agg(F.min("_v").alias("_v"))
+            .groupBy(key)
+            .agg(F.map_from_entries(F.collect_list(F.struct("_k", "_v"))).alias("_attr_map"))
+        )
+    else:
+        raise ValueError(f"on_duplicate must be 'fail' or 'min_wins', got {on_duplicate!r}")
     if fail_on_miss:
         miss = missing_keys(nodes, attrs, key).limit(1).first()
         if miss is not None:
             raise ValueError(f"enrichment key misses a node: {key}={miss[key]!r}")
-    am = _attrs_as_map(attrs, key)
     joined = nodes.join(am, key, "left")
     existing = F.col(props_col)
     incoming = F.coalesce(F.col("_attr_map"), F.map_from_arrays(F.array(), F.array()))

@@ -71,10 +71,12 @@ class GraphView:
         return list(row["labels"]) if row else []
 
     def match_unique_node(self, **props) -> DataFrame:
-        """Unique-match semantics: >1 hit raises (Neo4j.java:163-167)."""
+        """Unique-match semantics: >1 hit raises (Neo4j.java:163-167).
+        Single-job point probe: take(2) both answers the uniqueness check
+        AND warms the result (VERDICT r2 minor #3 — the old
+        limit(2).count() + reuse ran two jobs for one probe)."""
         hits = self.get_nodes(**props)
-        n = hits.limit(2).count()
-        if n > 1:
+        if len(hits.take(2)) > 1:
             raise ValueError(f"more than one node matches {props}")
         return hits
 
@@ -82,10 +84,18 @@ class GraphView:
     def has_relationship(
         self, subj: str, obj: str, pred: str | None = None
     ) -> bool:
+        """Edge-existence probe — one job (take(1)).
+
+        Layout note: against the pipeline's subj-bucketed triples layout
+        (KGPipeline(bucket_subj=N) -> sources/tables.write_bucketed) the
+        subj equality prunes to one bucket's files; against the
+        pred-partitioned layout, pass ``pred`` so the partition filter
+        prunes the scan. Prefer the bucketed layout when point probes
+        dominate the read workload."""
         df = self.triples.filter((F.col("subj") == subj) & (F.col("obj") == obj))
         if pred is not None:
             df = df.filter(F.col("pred") == pred)
-        return df.limit(1).count() > 0
+        return len(df.take(1)) > 0
 
     def find_neighbours(
         self,
@@ -149,7 +159,7 @@ class GraphView:
         for k, v in edge_props.items():
             col = F.col(k) if k in df.columns else F.col("properties").getItem(k)
             df = df.filter(col == F.lit(v))
-        return df.limit(1).count() > 0
+        return len(df.take(1)) > 0
 
     # ------------------------------------------------------------------- SQL
     def run_sql(self, spark: SparkSession, query: str) -> DataFrame:

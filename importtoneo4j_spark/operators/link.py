@@ -145,18 +145,34 @@ def drop_hot_buckets(
     return sig.join(hot, key, "left_anti")
 
 
-def lsh_dropped_buckets(vocab: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
-    """Observability: which LSH buckets were skipped by the hot-key cap."""
+def lsh_dropped_buckets(sig: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Observability: which LSH buckets the hot-key cap skipped.
+
+    Takes the already-computed (id, band_key) signature frame — the one
+    lsh_candidate_edges persists — instead of recomputing shingles+MinHash
+    from the vocabulary (VERDICT r2 minor #4: the recompute doubled the
+    MinHash cost of the observability path). Build one via
+    signature_frame() when starting from a raw vocabulary."""
+    return (
+        sig.groupBy("band_key").agg(F.count("*").alias("bsz")).filter(F.col("bsz") > max_bucket)
+    )
+
+
+def signature_frame(
+    vocab: DataFrame,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(norm_key, band_key) LSH signature frame for a vocabulary — the same
+    construction lsh_candidate_edges uses internally."""
     keys = (
         vocab.select("norm_key")
         .distinct()
         .withColumn("shingles", char_shingles(F.col("norm_key"), SHINGLE_K))
         .filter(F.size("shingles") > 0)
     )
-    sig = minhash_bands_agg(keys, "norm_key", "shingles", NUM_PERM, BANDS, ROWS_PER_BAND)
-    return (
-        sig.groupBy("band_key").agg(F.count("*").alias("bsz")).filter(F.col("bsz") > max_bucket)
-    )
+    return minhash_bands_agg(keys, "norm_key", "shingles", num_perm, bands, rows_per_band)
 
 
 def link_edges(extracted: DataFrame, vocab: DataFrame | None = None) -> DataFrame:

@@ -113,18 +113,20 @@ def _argmax_assign(
     """(vectors x broadcast centroids) -> (id, bucket, vec): argmax cosine,
     ties to the lowest centroid id.
 
-    Shape matters at scale: a max(struct) aggregate, NOT a window argmax.
+    Shape matters at scale: a min(struct) aggregate, NOT a window argmax.
     The window (row_number over partitionBy(id)) shuffles all N*K scored
-    rows and sorts them; max(struct(sim, -centroid_id, ...)) partial-
+    rows and sorts them; min(struct(-sim, centroid_id, ...)) partial-
     aggregates map-side — each map task collapses its K rows per id before
-    the shuffle, so N*K never crosses the wire. centroid_id is unique per
-    (id, centroid) row, so the struct comparison never reaches the payload
-    fields: the winner is deterministic."""
+    the shuffle, so N*K never crosses the wire. Negating the (always
+    numeric) SIMILARITY rather than the centroid id keeps the tiebreak
+    type-agnostic: min on the struct reaches centroid_id ascending, which
+    orders correctly for string ids too (negating a string id yields NULL —
+    or throws under ANSI). centroid_id is unique per (id, centroid) row, so
+    the comparison never reaches the payload fields: deterministic."""
     scored = embeddings.select(id_col, vec_col).crossJoin(F.broadcast(cents))
-    best = F.max(
+    best = F.min(
         F.struct(
-            cosine(F.col(vec_col), F.col("ce")).alias("sim"),
-            (-F.col("centroid_id")).alias("neg_cid"),
+            (-cosine(F.col(vec_col), F.col("ce"))).alias("neg_sim"),
             F.col("centroid_id").alias("cid"),
             F.col(vec_col).alias("v"),
         )

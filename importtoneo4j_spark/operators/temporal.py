@@ -24,6 +24,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Spark's sort rejects MapType anywhere in a sort key."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -36,6 +48,7 @@ def asof_join(
     right_prefix: str = "r_",
     how: str = "left",
     tolerance_sec: float | None = None,
+    dedup_col: str | None = None,
 ) -> DataFrame:
     """For each left row: the right row with the greatest right_ts <=
     left_ts in the same key group (ties on timestamp: the right row wins,
@@ -47,8 +60,14 @@ def asof_join(
     unmatched left rows (payload NULL); how='inner' drops them.
     tolerance_sec bounds the lookback (older matches become NULL/dropped).
 
-    Right-side (key, ts) duplicates are resolved deterministically: the row
-    last in (ts, payload)-struct order wins.
+    Right-side (key, ts) duplicates: pass ``dedup_col`` (a small orderable
+    right column — an id, a sequence number) and the duplicate with the
+    greatest value wins, paying a one-column comparator instead of a
+    whole-payload one. Without it, the full payload struct is the tiebreak
+    when every carried column is orderable (deterministic, wide comparator);
+    if the payload contains an unorderable type (MapType), no tiebreak is
+    applied and the winner among exact (key, ts) right duplicates is
+    plan-dependent — supply dedup_col to restore determinism.
     """
     keys = [on] if isinstance(on, str) else list(on)
     rcols = right_cols or [c for c in right.columns if c not in keys + [right_ts]]
@@ -67,9 +86,17 @@ def asof_join(
         .withColumn("_side", F.lit(1))
     )
     u = r.unionByName(l_tagged, allowMissingColumns=True)
+    if dedup_col is not None:
+        if dedup_col not in rcols:
+            raise ValueError(f"dedup_col {dedup_col!r} is not a carried right column")
+        tie = [F.col("_rpay").getField(dedup_col).asc()]
+    elif all(_orderable(right.schema[c].dataType) for c in rcols):
+        tie = [F.col("_rpay").asc()]
+    else:
+        tie = []  # unorderable payload, no dedup_col: documented caveat
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rpay").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), *tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     m = F.last("_rpay", ignorenulls=True).over(w)

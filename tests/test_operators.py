@@ -309,3 +309,74 @@ def test_asof_join_semantics(spark):
     plan = asof_join(left, right, on="user")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Window" in plan
+
+
+def test_lsh_dropped_buckets_on_persisted_signature(spark):
+    """VERDICT r2 minor #4: the observability path consumes an
+    already-computed signature frame (one MinHash computation total) and its
+    dropped buckets are exactly the ones drop_hot_buckets removes."""
+    from importtoneo4j_spark.operators.link import (
+        drop_hot_buckets,
+        lsh_dropped_buckets,
+        signature_frame,
+    )
+
+    # shared-prefix keys: nearly identical shingle sets flood a few buckets
+    vocab = spark.createDataFrame(
+        [(f"acme corp {i}",) for i in range(40)], ["norm_key"]
+    )
+    sig = signature_frame(vocab).cache()
+    dropped = lsh_dropped_buckets(sig, max_bucket=5)
+    rows = dropped.collect()
+    assert rows and all(r["bsz"] > 5 for r in rows)
+    kept = drop_hot_buckets(sig, 5)
+    assert kept.join(dropped, "band_key").count() == 0
+    sig.unpersist()
+
+
+def test_asof_join_dedup_col_and_map_payload(spark):
+    """ADVICE r2: a MapType payload column must not break asof_join (no
+    orderable-struct tiebreak is forced), and dedup_col restores determinism
+    among exact (key, ts) right duplicates."""
+    from importtoneo4j_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", 1)], "user string, ts string, lid int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 09:00:00", 7, {"a": "x"}),
+            ("u1", "2024-01-01 09:00:00", 9, {"a": "y"}),
+        ],
+        "user string, ts string, rid int, attrs map<string,string>",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # unorderable payload + no dedup_col: plan must still analyze and run
+    got = asof_join(left, right, on="user").collect()
+    assert len(got) == 1 and got[0]["r_rid"] in (7, 9)
+    # dedup_col: greatest rid deterministically wins
+    got = asof_join(left, right, on="user", dedup_col="rid").collect()
+    assert got[0]["r_rid"] == 9 and got[0]["r_attrs"]["a"] == "y"
+    with pytest.raises(ValueError, match="dedup_col"):
+        asof_join(left, right, on="user", dedup_col="nope")
+
+
+def test_ivf_argmax_tiebreak_string_ids(spark):
+    """ADVICE r2: the assignment argmax must stay deterministic for STRING
+    centroid ids (the old -centroid_id negation silently nulled or threw
+    under ANSI)."""
+    from importtoneo4j_spark.operators.similarity import _argmax_assign
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    # two identical centroids with string ids -> tie; lowest id must win
+    cents = spark.createDataFrame(
+        [("c_b", [1.0, 0.0]), ("c_a", [1.0, 0.0]), ("c_z", [0.0, 1.0])],
+        "centroid_id string, ce array<double>",
+    )
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in _argmax_assign(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert got == {1: "c_a", 2: "c_z"}
