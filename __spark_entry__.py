@@ -38,12 +38,17 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]
 # --------------------------------------------------------------------------
 
 def kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customer/part grow linearly with scale factor, so no F.broadcast hints:
+    # AQE picks broadcast at sandbox scale (plan-asserted in
+    # tests/test_plans.py) and falls back to shuffle joins when a 100x input
+    # would no longer fit in executor memory — forcing the hint here is how
+    # the driver OOMs at scale (SCALE.md "never force-broadcast").
     t = _load(spark, sf_dir, "customer", "orders", "lineitem", "part")
     triples = (
         t["lineitem"]
         .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.col("c_name").alias("subj"),
             F.concat(F.lit("ORDERED_"), F.upper(F.col("l_returnflag"))).alias("pred"),
@@ -154,10 +159,13 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            # supplier grows with scale factor — AQE-chosen strategy, no hint
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
+        # nation/region are FIXED cardinality (25/5 at every SF): the only
+        # tables where a forced broadcast is safe by construction
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -785,46 +793,22 @@ def _sql_dedup_exact() -> str:
     """
 
 
-def _doc_shingles(d: DataFrame, n: int = 5):
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
-    return d.filter(F.size(toks) >= n).select("doc_id", sh.alias("shingles"))
-
-
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact token-5-gram Jaccard >= 0.5 via inverted-index
-    self-join (shingle explode -> equi-join -> pair agg)."""
+    """Near-dup pairs by exact token-5-gram Jaccard >= 0.5. Blocking is the
+    df-capped inverted-index self-join (shingles with document frequency
+    > 64 are dropped from candidate generation — the drop_hot_buckets
+    pattern); verification is exact Jaccard on the full shingle sets, so
+    emitted scores are unaffected by the cap. operators/dedup.py:
+    ngram_jaccard_pairs; oracle mirrors the cap (_sql_dedup_ngram)."""
+    from importtoneo4j_spark.operators.dedup import ngram_jaccard_pairs
+
     d = _load(spark, sf_dir, "documents")["documents"]
-    sh = _doc_shingles(d).withColumn("n_sh", F.size("shingles"))
-    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
-    a, b = inv.alias("a"), inv.alias("b")
-    pairs = (
-        a.join(b, on="s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("common"))
-        .withColumn(
-            "jac",
-            F.round(
-                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
-            ),
-        )
-        .filter(F.col("jac") >= 0.5)
-        .select("a_id", "b_id", "jac")
-    )
-    return pairs
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5, max_df=64)
+    return out.select("a_id", "b_id", F.round("jac", 4).alias("jac"))
 
 
-def _sql_dedup_ngram() -> str:
-    return r"""
+def _sql_dedup_ngram(max_df: int = 64) -> str:
+    return rf"""
     WITH sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(toks[i:i+4], ' ')
@@ -834,10 +818,18 @@ def _sql_dedup_ngram() -> str:
       WHERE len(toks) >= 5
     ), inv AS (
       SELECT doc_id, len(s) AS n_sh, unnest(s) AS sg FROM sh
+    ), hot AS (
+      SELECT sg FROM inv GROUP BY sg HAVING count(*) > {max_df}
+    ), capped AS (
+      SELECT * FROM inv WHERE sg NOT IN (SELECT sg FROM hot)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+      FROM capped a JOIN capped b ON a.sg = b.sg AND a.doc_id < b.doc_id
     ), pairs AS (
-      SELECT a.doc_id a_id, b.doc_id b_id, a.n_sh na, b.n_sh nb,
-             count(*) AS common
-      FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      SELECT c.a_id, c.b_id, a.n_sh na, b.n_sh nb, count(*) AS common
+      FROM cand c
+      JOIN inv a ON a.doc_id = c.a_id
+      JOIN inv b ON b.doc_id = c.b_id AND a.sg = b.sg
       GROUP BY 1, 2, 3, 4
     )
     SELECT a_id, b_id,
@@ -1122,44 +1114,52 @@ def _sql_emb_near_dups() -> str:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups, fully oracle-checked: the 64 hash bits come from
-    md5 hex (two 32-bit halves via conv), so the per-bit majority votes,
-    16-bit band blocking AND the Hamming verification are reproducible in
-    DuckDB SQL (generated in _sql_dedup_simhash). tests/ additionally verify
-    the pairs against exact n-gram Jaccard."""
+    """SimHash near-dups, fully oracle-checked: all 128 md5 bits feed the
+    per-bit majority votes (md5 hex is identical in Spark and DuckDB), the
+    blocking is four 32-bit bands (2^32 key space — no 2^16 bucket ceiling)
+    with a drop_hot_buckets cap at 64 docs/bucket, and the 128-bit Hamming
+    verification is reproducible in DuckDB SQL (generated in
+    _sql_dedup_simhash). tests/ additionally verify the pairs against exact
+    n-gram Jaccard and the planted-clone skew guard."""
     from importtoneo4j_spark.operators.dedup import simhash_near_dups
 
     d = _load(spark, sf_dir, "documents")["documents"]
-    return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=8, max_bucket=64)
 
 
-def _sql_dedup_simhash(max_hamming: int = 3, bands: int = 4, n: int = 3) -> str:
-    """Programmatically generated SimHash oracle: 64 vote columns, band
-    values and the Hamming sum are mechanical expansions of the same
-    definitions the Spark operator uses (operators/dedup.py::simhash)."""
-    width = 64 // bands
-
-    def bit(src: str, b: int) -> str:  # bits 0-31 <- lo, 32-63 <- hi
-        part = f"{src}lo" if b < 32 else f"{src}hi"
-        return f"(({part} >> {b % 32}) & 1)"
-
+def _sql_dedup_simhash(max_hamming: int = 8, n: int = 3, max_bucket: int = 64) -> str:
+    """Programmatically generated SimHash oracle: 128 vote columns, four
+    32-bit band values, the hot-bucket cap and the Hamming sum are
+    mechanical expansions of the same definitions the Spark operator uses
+    (operators/dedup.py::simhash128 / simhash_near_dups). Bit convention:
+    word w = bit // 32, words = md5 hex chars [9-16, 1-8, 17-24, 25-32]."""
+    starts = [9, 1, 17, 25]
+    words = ",\n             ".join(
+        f"('0x' || substr(md5(t), {starts[w]}, 8))::BIGINT AS w{w}"
+        for w in range(4)
+    )
     votes = ",\n             ".join(
-        f"SUM(CASE WHEN {bit('', b)} = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(64)
+        f"SUM(CASE WHEN ((w{b // 32} >> {b % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(128)
     )
     band_exprs = ", ".join(
         "'{b}|' || CAST(({terms}) AS VARCHAR)".format(
             b=b,
             terms=" + ".join(
-                f"CASE WHEN v{b * width + i} > 0 THEN {1 << i} ELSE 0 END"
-                for i in range(width)
+                f"CASE WHEN v{b * 32 + i} > 0 THEN {1 << i} ELSE 0 END"
+                for i in range(32)
             ),
         )
-        for b in range(bands)
+        for b in range(4)
     )
-    hamming = " + ".join(
+    # chunk the 128-term sum into parenthesized groups: DuckDB's binder
+    # recurses per '+' in a left-associated chain and caps at depth 128
+    terms = [
         f"CASE WHEN (va.v{b} > 0) <> (vb.v{b} > 0) THEN 1 ELSE 0 END"
-        for b in range(64)
+        for b in range(128)
+    ]
+    hamming = " + ".join(
+        "(" + " + ".join(terms[i : i + 16]) + ")" for i in range(0, 128, 16)
     )
     return rf"""
     WITH sh AS (
@@ -1171,8 +1171,7 @@ def _sql_dedup_simhash(max_hamming: int = 3, bands: int = 4, n: int = 3) -> str:
       WHERE len(toks) >= {n}
     ), h AS (
       SELECT doc_id,
-             ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
-             ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+             {words}
       FROM (SELECT doc_id, unnest(s) AS t FROM sh)
     ), votes AS (
       SELECT doc_id,
@@ -1180,9 +1179,13 @@ def _sql_dedup_simhash(max_hamming: int = 3, bands: int = 4, n: int = 3) -> str:
       FROM h GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM votes
+    ), hot AS (
+      SELECT band_key FROM bands GROUP BY band_key HAVING count(*) > {max_bucket}
+    ), capped AS (
+      SELECT * FROM bands WHERE band_key NOT IN (SELECT band_key FROM hot)
     ), cand AS (
       SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT a_id, b_id, CAST({hamming} AS INTEGER) AS hamming
@@ -1341,6 +1344,74 @@ def _sql_p1() -> str:
     """
 
 
+def s9_schema_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema registry as data (SURVEY §1.1): the declared type vocabulary —
+    including reserved-but-uninstantiated entries, the reference's pattern
+    of declaring 7 labels + 7 rel-types it never creates
+    (VariantDatabase.java:33-65) — full-outer-joined with the observed
+    labels/rel-types of a materialized graph. Dynamic rel-types
+    (ORDERED_N/ORDERED_R here) surface as observed-but-undeclared rows.
+    operators/registry.py::schema_registry over the kg_flagship triple set."""
+    from importtoneo4j_spark.operators.registry import schema_registry
+
+    flag = kg_flagship(spark, sf_dir).select("subj", "pred", "obj")
+    nodes = (
+        flag.select(
+            F.col("subj").alias("entity_id"), F.array(F.lit("Customer")).alias("labels")
+        )
+        .unionByName(
+            flag.select(
+                F.col("obj").alias("entity_id"), F.array(F.lit("Part")).alias("labels")
+            )
+        )
+        .distinct()
+    )
+    return schema_registry(
+        nodes,
+        flag,
+        declared_labels=[
+            ("Customer", "entity_id"),
+            ("Part", "entity_id"),
+            ("Document", "doc_id"),  # reserved, never instantiated
+        ],
+        declared_rels=["ORDERED_A", "SAME_AS"],  # SAME_AS reserved
+    )
+
+
+def _sql_s9() -> str:
+    return """
+    WITH triples AS (
+      SELECT DISTINCT c_name AS subj,
+             'ORDERED_' || upper(l_returnflag) AS pred,
+             p_name AS obj
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part     ON l_partkey = p_partkey
+    ), obs AS (
+      SELECT 'rel_type' AS kind, pred AS name, count(*) AS n
+      FROM triples GROUP BY 2
+      UNION ALL
+      SELECT 'node_label', 'Customer', count(DISTINCT subj) FROM triples
+      UNION ALL
+      SELECT 'node_label', 'Part', count(DISTINCT obj) FROM triples
+    ), decl(kind, name, key_constraint) AS (
+      VALUES ('node_label', 'Customer', 'entity_id'),
+             ('node_label', 'Part', 'entity_id'),
+             ('node_label', 'Document', 'doc_id'),
+             ('rel_type', 'ORDERED_A', CAST(NULL AS VARCHAR)),
+             ('rel_type', 'SAME_AS', CAST(NULL AS VARCHAR))
+    )
+    SELECT coalesce(d.kind, o.kind) AS kind,
+           coalesce(d.name, o.name) AS name,
+           d.key_constraint,
+           d.name IS NOT NULL AS declared,
+           o.name IS NOT NULL AS instantiated,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_instances
+    FROM decl d FULL OUTER JOIN obs o ON d.kind = o.kind AND d.name = o.name
+    """
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1364,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_one_hop_traversal": j4_one_hop_traversal,
         "f9_label_scan": f9_label_scan,
         "g1_degree": g1_degree,
+        "s9_schema_catalog": s9_schema_catalog,
         "t3_asof_join": t3_asof_join,
         "a3_label_union": a3_label_union,
         "a6_guarded_ratio": a6_guarded_ratio,
@@ -1408,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
         "j4_one_hop_traversal": _sql_j4(),
         "f9_label_scan": _sql_f9(),
         "g1_degree": _sql_g1(),
+        "s9_schema_catalog": _sql_s9(),
         "t3_asof_join": _sql_t3(),
         "a3_label_union": _sql_a3(),
         "a6_guarded_ratio": _sql_a6(),

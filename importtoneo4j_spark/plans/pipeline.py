@@ -40,6 +40,7 @@ from importtoneo4j_spark.operators.merge import (
     merge_nodes,
     new_keys_only,
 )
+from importtoneo4j_spark.operators.registry import schema_registry
 from importtoneo4j_spark.sources.tables import TableStore
 from importtoneo4j_spark.sources.transcripts import (
     assert_unique_turns,
@@ -196,22 +197,24 @@ class KGPipeline:
         # the triples and the nodes branch (subj + obj unions)
         links = self.store.read("links")
         triples = canonical_triples(extracted, links)
-        nodes = canonical_nodes(extracted, links).withColumn(
-            "_bucket", node_bucket(F.col("entity_id"))
-        )
 
         prev_runs = self._prev_runs()
-        if self.mode == "append" and self.store.exists("triples") and prev_runs:
+        appending = self.mode == "append" and self.store.exists("triples") and prev_runs
+        if appending:
             snapshot = self.store.read("triples")
             delta = new_keys_only(triples, snapshot, ["subj", "pred", "obj"])
             self.store.write(delta, "triples_delta")  # ref delta-VCF sink analog
             # appending into a bucketed table would silently break its
             # bucket guarantee -> demote to plain layout (flat files match
             # the bucketed dir shape; partitioned appends only on the
-            # pred-partitioned layout)
-            was_bucketed = self.spark.catalog.tableExists(
-                self.store.catalog_name("triples")
-            )
+            # pred-partitioned layout). The layout is consulted from the
+            # DURABLE materialize marker, not the session-local catalog
+            # (ADVICE r2): a fresh session's in-memory catalog answers
+            # tableExists=False for a bucketed table written by a previous
+            # session, and a pred-partitioned append into the flat bucketed
+            # directory is a mixed layout partition discovery rejects.
+            prev_marker = self.store.read_marker("materialize") or {}
+            was_bucketed = prev_marker.get("triples_layout") == "bucketed"
             self.spark.sql(
                 f"DROP TABLE IF EXISTS {self.store.catalog_name('triples')}"
             )
@@ -221,13 +224,33 @@ class KGPipeline:
                 mode="append",
                 partition_by=None if was_bucketed else ["pred"],
             )
+            layout = "flat" if was_bucketed else "pred_partitioned"
             # node upsert (not insert-new-only): labels/surfaces/mention
             # counts accumulate onto existing nodes across runs, matching
             # the reference's re-run MERGE (addNodeLabel) — ADVICE r1 fix.
+            # The mention/label delta is computed ONLY over turns newer than
+            # the per-conversation watermarks of previous runs (ADVICE r2):
+            # append inputs are documented supersets (re-export + new data),
+            # and without the watermark anti-filter the snapshot's own turns
+            # would be re-counted into n_mentions on every append. Watermark
+            # state is one row per conversation (10^9 rows at 10^12 turns),
+            # not per turn.
+            delta_extracted = extracted
+            if self.store.exists("conv_watermarks"):
+                wm = self.store.read("conv_watermarks")
+                delta_extracted = (
+                    extracted.join(wm, "conv_id", "left")
+                    .filter(
+                        F.col("max_turn").isNull()
+                        | (F.col("turn_idx") > F.col("max_turn"))
+                    )
+                    .drop("max_turn")
+                )
+            delta_nodes = canonical_nodes(delta_extracted, links)
             # Staged through a sibling table: parquet can't overwrite the
             # path it is scanning.
             nodes_snap = self.store.read("nodes").drop("_bucket")
-            merged = merge_nodes(nodes_snap, nodes.drop("_bucket")).withColumn(
+            merged = merge_nodes(nodes_snap, delta_nodes).withColumn(
                 "_bucket", node_bucket(F.col("entity_id"))
             )
             n_nodes = self._write_counted(merged, "nodes_next")
@@ -236,6 +259,9 @@ class KGPipeline:
             )
             self.store.drop("nodes_next")
         else:
+            nodes = canonical_nodes(extracted, links).withColumn(
+                "_bucket", node_bucket(F.col("entity_id"))
+            )
             # NOTE: no repartition("subj") before the write — the hot entity
             # owns ~20% of triples, so hash-partitioning by subj pins that
             # partition to one core (measured: flat materialize time from 8
@@ -254,14 +280,17 @@ class KGPipeline:
                     n_buckets=self.bucket_subj,
                     sort_cols=["subj", "obj"],
                 )
+                layout = "bucketed"
             else:
                 n_trip = self._write_counted(
                     triples.sortWithinPartitions("subj", "obj"),
                     "triples",
                     partition_by=["pred"],
                 )
+                layout = "pred_partitioned"
                 if n_trip == 0:
                     self.store.write(triples.limit(0), "triples")
+                    layout = "flat"
             n_nodes = self._write_counted(
                 nodes.sortWithinPartitions("entity_id"),
                 "nodes",
@@ -274,11 +303,44 @@ class KGPipeline:
             empty_delta = triples.limit(0)
             self.store.write(empty_delta, "triples_delta")
 
+        # per-conversation high-water marks of every imported turn: the
+        # append-mode mention delta above filters against these. Computed
+        # from the ingested valid turns (not extracted — turns with zero
+        # assertions still count as imported), merged with the prior state.
+        # A folded pipeline (fold_epochs) has no ingest stage; the extracted
+        # assertions are the best available turn inventory there.
+        wm_src = (
+            self._valid()
+            if self.store.exists("ingested")
+            else extracted.select("conv_id", "turn_idx")
+        )
+        run_wm = wm_src.groupBy("conv_id").agg(
+            F.max("turn_idx").alias("max_turn")
+        )
+        if appending and self.store.exists("conv_watermarks"):
+            run_wm = (
+                self.store.read("conv_watermarks")
+                .unionByName(run_wm)
+                .groupBy("conv_id")
+                .agg(F.max("max_turn").alias("max_turn"))
+            )
+        self.store.write(run_wm, "conv_watermarks_next")
+        self.store.write(self.store.read("conv_watermarks_next"), "conv_watermarks")
+        self.store.drop("conv_watermarks_next")
+
         if self.fail_fast:
             # F4 on the graph sink: entity_id is the node MERGE key and must
             # be unique (Neo4j.java:163-167 throws on >1 index hit)
             assert_unique(self.store.read("nodes"), ["entity_id"], what="entity_id")
         final = self.store.read("triples")
+        # schema registry as data (SURVEY §1.1): the declared vocabulary —
+        # including reserved, never-instantiated types, the reference's
+        # VariantDatabase.java:33-65 pattern — plus observed labels/rel-types
+        # with counts. Output cardinality = number of TYPES; recomputed on
+        # every materialize.
+        self.store.write(
+            schema_registry(self.store.read("nodes"), final), "schema_registry"
+        )
         lineage = lineage_manifest(
             final, self.run_id, "materialize", hash_cols=["subj", "pred", "obj"]
         )
@@ -310,22 +372,33 @@ class KGPipeline:
             triples=n_triples,
             nodes=n_nodes,
             checksum=checksum,
+            triples_layout=layout,
             imported_runs=sorted(set(prev_runs) | {self.run_id}),
         )
 
     # --------------------------------------------------------- enrich (EP2)
-    def enrich(self, attrs: DataFrame, fail_on_miss: bool | None = None) -> dict:
+    def enrich(
+        self,
+        attrs: DataFrame,
+        fail_on_miss: bool | None = None,
+        on_duplicate: str = "fail",
+    ) -> dict:
         """Second-pass node enrichment (the reference's ``-a`` annotation
         import, VariantDatabase.java:320-352): join an external attribute
         table on entity_id, first-wins-merge its columns into the node
         properties, integrity-check misses. Idempotent: re-applying the same
         attrs adds nothing (keys already present are first-wins-filtered).
+        Duplicate attribute keys abort by default (they would fan out node
+        rows and break the entity_id uniqueness invariant — ADVICE r2); pass
+        on_duplicate='min_wins' to pre-aggregate them deterministically.
         Runs after materialize; requires the nodes table."""
         if not self.store.exists("nodes"):
             raise ValueError("enrich requires a materialized nodes table")
         fom = self.fail_fast if fail_on_miss is None else fail_on_miss
         nodes = self.store.read("nodes")
-        enriched = enrich_nodes(nodes, attrs, fail_on_miss=fom)
+        enriched = enrich_nodes(
+            nodes, attrs, fail_on_miss=fom, on_duplicate=on_duplicate
+        )
         n_miss = 0 if fom else missing_keys(nodes, attrs).count()
         # stage through a sibling table: parquet can't overwrite a path
         # while scanning it
@@ -362,6 +435,39 @@ class KGPipeline:
                 continue
             ts = time.time()
             fns[stage]()
+            stage_secs[stage] = round(time.time() - ts, 3)
+        self.metrics["stage_secs"] = stage_secs
+        self.metrics["wall_sec"] = time.time() - t0
+        return self.metrics
+
+    # ----------------------------------------------------- streaming fold
+    def fold_epochs(self, stream_output_dir: str) -> dict:
+        """Fold streaming output into the batch graph — the periodic batch
+        re-canonicalization the lambda split promises
+        (streaming/incremental.py docstring, now executable).
+
+        Reads the epoch-partitioned extracted-assertions table written by
+        incremental_extract_stream, installs it as this pipeline's extracted
+        stage, then runs the global-fixpoint stages (link -> canonicalize ->
+        materialize) in batch. Unlike append mode this is a full
+        re-canonicalization: new evidence may merge existing entities, which
+        per-epoch increments cannot do. Re-folding after more epochs arrive
+        overwrites with the new fixpoint — idempotent for a fixed epoch set
+        (same corpus -> same checksum, asserted in tests/test_lifecycle.py).
+        """
+        t0 = time.time()
+        ext = self.spark.read.parquet(stream_output_dir).drop("epoch")
+        n = self._write_counted(ext, "extracted")
+        self.metrics["extract"] = {"assertions": n, "folded": True}
+        self._mark("extract", assertions=n, folded=True)
+        stage_secs: dict[str, float] = {}
+        for stage, fn in (
+            ("link", self.stage_link),
+            ("canonicalize", self.stage_canonicalize),
+            ("materialize", self.stage_materialize),
+        ):
+            ts = time.time()
+            fn()
             stage_secs[stage] = round(time.time() - ts, 3)
         self.metrics["stage_secs"] = stage_secs
         self.metrics["wall_sec"] = time.time() - t0

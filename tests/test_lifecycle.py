@@ -40,6 +40,38 @@ def test_append_same_input_is_noop(spark, data, tmp_path_factory):
     assert p2.store.read("triples_delta").count() == 0
 
 
+def test_append_layout_survives_new_session(spark, tmp_path_factory):
+    """ADVICE r2: the triples layout must be consulted from the DURABLE
+    materialize marker, not the session-local catalog. Simulate a fresh
+    session by dropping the in-memory catalog entry for a bucketed triples
+    table; an append must still write flat files (the bucketed-dir shape),
+    never pred=... directories mixed into a flat directory — a layout
+    partition discovery rejects on the next read."""
+    gen = TranscriptGenerator(seed=11, n_entities=40)
+    full_path = str(tmp_path_factory.mktemp("lay") / "full")
+    gen.write_parquet(full_path, n_convs=20)
+    half_path = str(tmp_path_factory.mktemp("lay") / "half")
+    spark.read.parquet(full_path).filter(
+        F.col("conv_id") < "conv-0000010"
+    ).write.parquet(half_path)
+
+    work = str(tmp_path_factory.mktemp("lay") / "kg")
+    p1 = KGPipeline(spark, half_path, work, run_id="r1", bucket_subj=4)
+    p1.run()
+    assert p1.store.read_marker("materialize")["triples_layout"] == "bucketed"
+    # a new session starts with an empty in-memory catalog
+    spark.sql(f"DROP TABLE IF EXISTS {p1.store.catalog_name('triples')}")
+
+    p2 = KGPipeline(spark, full_path, work, run_id="r2", mode="append", bucket_subj=4)
+    for s in ["ingest", "extract", "link", "canonicalize"]:
+        p2.store.clear_marker(s)
+    p2.run(resume=False)
+    entries = os.listdir(os.path.join(work, "triples"))
+    assert not any(e.startswith("pred=") for e in entries)
+    assert p2.triples().count() > 0  # a mixed-layout directory would throw here
+    assert p2.store.read_marker("materialize")["triples_layout"] == "flat"
+
+
 def test_resume_mid_stage_identical(spark, data, tmp_path_factory):
     """Kill after stage k, resume -> identical final checksum."""
     w_full = str(tmp_path_factory.mktemp("lc1") / "kg")
@@ -81,6 +113,56 @@ def test_streaming_incremental_matches_batch(spark, data, tmp_path_factory):
     got = sorted(map(tuple, spark.read.parquet(out).select(*key).collect()))
     want = sorted(map(tuple, batch.select(*key).collect()))
     assert got == want
+
+
+def test_fold_epochs_matches_batch(spark, data, tmp_path_factory):
+    """VERDICT r2 #4: the lambda fold is executable — stream the corpus,
+    fold the epoch-partitioned extraction into the batch link ->
+    canonicalize -> materialize stages, and the folded graph's triple
+    checksum equals a plain batch run over the same corpus."""
+    from importtoneo4j_spark.streaming.incremental import incremental_extract_stream
+
+    out = str(tmp_path_factory.mktemp("fold") / "out")
+    ckpt = str(tmp_path_factory.mktemp("fold") / "ckpt")
+    q = incremental_extract_stream(spark, data, out, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+
+    fold_work = str(tmp_path_factory.mktemp("fold") / "kg")
+    folded = KGPipeline(spark, data, fold_work, run_id="fold")
+    m_fold = folded.fold_epochs(out)
+
+    batch_work = str(tmp_path_factory.mktemp("fold") / "kg_batch")
+    batch = KGPipeline(spark, data, batch_work, run_id="batch")
+    m_batch = batch.run()
+    assert m_fold["materialize"]["triples"] > 0
+    assert m_fold["materialize"]["checksum"] == m_batch["materialize"]["checksum"]
+
+
+def test_enrich_duplicate_attrs_guard(spark, data, tmp_path_factory):
+    """ADVICE r2: an attribute table with duplicate keys must not fan out
+    node rows. Default aborts; on_duplicate='min_wins' pre-aggregates to one
+    deterministic map per key."""
+    from importtoneo4j_spark.operators.enrich import enrich_nodes
+
+    work = str(tmp_path_factory.mktemp("enrdup") / "kg")
+    pipe = KGPipeline(spark, data, work, run_id="r1")
+    pipe.run()
+    nodes = pipe.nodes()
+    some_id = nodes.select("entity_id").first()["entity_id"]
+    attrs = spark.createDataFrame(
+        [(some_id, "zeta"), (some_id, "alpha")],
+        "entity_id string, ext_tag string",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        enrich_nodes(nodes, attrs)
+    out = enrich_nodes(nodes, attrs, on_duplicate="min_wins")
+    assert out.count() == nodes.count()  # no fan-out
+    got = (
+        out.filter(F.col("entity_id") == some_id)
+        .select(F.col("properties")["ext_tag"].alias("t"))
+        .first()["t"]
+    )
+    assert got == "alpha"  # min-wins determinism
 
 
 def test_hot_entity_salting_consistency(spark, tmp_path_factory):
@@ -226,3 +308,14 @@ def test_append_accumulates_node_attributes(spark, tmp_path_factory):
     # uniqueness invariant survives the upsert
     n = p2.nodes()
     assert n.count() == n.select("entity_id").distinct().count()
+    # ADVICE r2: the append input is a SUPERSET of run 1, so without the
+    # per-conversation watermark filter every run-1 mention would be counted
+    # twice. Every mention lands on exactly one entity regardless of how
+    # linking grouped surfaces, so sum(n_mentions) is an exact invariant:
+    # append-total must equal a fresh full-corpus run's total.
+    fresh_work = str(tmp_path_factory.mktemp("acc") / "kg_fresh")
+    p_fresh = KGPipeline(spark, full_path, fresh_work, run_id="rf")
+    p_fresh.run()
+    total_fresh = p_fresh.nodes().agg(F.sum("n_mentions")).first()[0]
+    total_append = p2.nodes().agg(F.sum("n_mentions")).first()[0]
+    assert total_append == total_fresh

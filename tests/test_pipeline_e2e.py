@@ -44,6 +44,44 @@ def test_triple_precision_recall(run, oracle):
     assert r >= 0.95, f"recall {r:.4f} < 0.95"
 
 
+def test_schema_registry_written(run):
+    """Schema registry as data (SURVEY §1.1): materialize writes the type
+    catalog, including reserved-but-uninstantiated types (the reference
+    declares 7 labels + 7 rel-types it never creates,
+    VariantDatabase.java:33-65)."""
+    from importtoneo4j_spark.operators.registry import (
+        DECLARED_NODE_LABELS,
+        DECLARED_REL_TYPES,
+    )
+
+    pipe, _ = run
+    reg = {
+        (r["kind"], r["name"]): r
+        for r in pipe.store.read("schema_registry").collect()
+    }
+    # every declared type is present; reserved ones are uninstantiated
+    for name, key in DECLARED_NODE_LABELS:
+        row = reg[("node_label", name)]
+        assert row["declared"] and row["key_constraint"] == key
+    for name in DECLARED_REL_TYPES:
+        assert reg[("rel_type", name)]["declared"]
+    for kind, name in [
+        ("node_label", "Document"),
+        ("node_label", "Session"),
+        ("rel_type", "SAME_AS"),
+        ("rel_type", "PART_OF"),
+    ]:
+        row = reg[(kind, name)]
+        assert not row["instantiated"] and row["n_instances"] == 0
+    # observed labels carry counts; data-derived rel types appear undeclared
+    assert reg[("node_label", "Subject")]["instantiated"]
+    assert reg[("node_label", "Subject")]["n_instances"] > 0
+    observed_rels = [
+        r for (k, _), r in reg.items() if k == "rel_type" and r["instantiated"]
+    ]
+    assert observed_rels and all(not r["declared"] for r in observed_rels)
+
+
 def test_first_wins_attribution(run, oracle):
     """Earliest (conv_id, turn_idx) wins for every shared triple —
     reference Neo4j.java:230-242 first-writer-wins."""
