@@ -318,15 +318,22 @@ class KGPipeline:
             F.max("turn_idx").alias("max_turn")
         )
         if appending and self.store.exists("conv_watermarks"):
+            # merging with the prior state reads the same path being
+            # overwritten -> stage through a sibling table (append path only;
+            # the fresh path writes directly, no concurrent read exists)
             run_wm = (
                 self.store.read("conv_watermarks")
                 .unionByName(run_wm)
                 .groupBy("conv_id")
                 .agg(F.max("max_turn").alias("max_turn"))
             )
-        self.store.write(run_wm, "conv_watermarks_next")
-        self.store.write(self.store.read("conv_watermarks_next"), "conv_watermarks")
-        self.store.drop("conv_watermarks_next")
+            self.store.write(run_wm, "conv_watermarks_next")
+            self.store.write(
+                self.store.read("conv_watermarks_next"), "conv_watermarks"
+            )
+            self.store.drop("conv_watermarks_next")
+        else:
+            self.store.write(run_wm, "conv_watermarks")
 
         if self.fail_fast:
             # F4 on the graph sink: entity_id is the node MERGE key and must
