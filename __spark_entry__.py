@@ -912,7 +912,9 @@ def _sql_contamination() -> str:
     """
 
 
-def _sql_dedup_minhash() -> str:
+def _minhash_pair_ctes() -> str:
+    """The MinHash-LSH pair derivation as a WITH-body string, shared by the
+    dedup_minhash_lsh and dedup_clusters oracles (ends in a `pairs` CTE)."""
     from importtoneo4j_spark.functions.text import MINHASH_PRIME, minhash_coeffs
 
     perms = 16
@@ -928,8 +930,7 @@ def _sql_dedup_minhash() -> str:
     band_keys = ", ".join(
         f"'{b}' || '|' || m{b * rows} || '|' || m{b * rows + 1}" for b in range(bands)
     )
-    return rf"""
-    WITH sh AS (
+    return rf"""sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(toks[i:i+4], ' ')
                             for i in range(1, len(toks) - 3)]) AS s
@@ -944,15 +945,158 @@ def _sql_dedup_minhash() -> str:
       SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
       FROM bands a JOIN bands b
         ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT a_id, b_id,
+             round(len(list_intersect(sa.s, sb.s)) * 1.0
+                   / len(list_distinct(sa.s || sb.s)), 4) AS jac
+      FROM cand
+      JOIN sh sa ON a_id = sa.doc_id
+      JOIN sh sb ON b_id = sb.doc_id
+      WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+            / len(list_distinct(sa.s || sb.s)) >= 0.5
+    )"""
+
+
+def _sql_dedup_minhash() -> str:
+    return f"""
+    WITH {_minhash_pair_ctes()}
+    SELECT a_id, b_id, jac FROM pairs
+    """
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: hash-min connected components (the pipeline's own
+    canonicalization machinery, operators/canonicalize.py) over the verified
+    MinHash pair graph; keep_id = min doc_id per component. Oracle: the same
+    pair derivation + a recursive-CTE transitive closure."""
+    from importtoneo4j_spark.operators.dedup import dedup_clusters as op
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    return op(
+        d, "doc_id", "text", n=5, num_perm=16, bands=8, rows_per_band=2, threshold=0.5
     )
-    SELECT a_id, b_id,
-           round(len(list_intersect(sa.s, sb.s)) * 1.0
-                 / len(list_distinct(sa.s || sb.s)), 4) AS jac
-    FROM cand
-    JOIN sh sa ON a_id = sa.doc_id
-    JOIN sh sb ON b_id = sb.doc_id
-    WHERE len(list_intersect(sa.s, sb.s)) * 1.0
-          / len(list_distinct(sa.s || sb.s)) >= 0.5
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, LEAST(s, MIN(d)) AS keep_id
+    FROM reach GROUP BY s
+    """
+
+
+def contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 13-gram decontamination probe (the published eval-set
+    decontamination window) across the same even/odd corpus split as
+    contamination_check: one row per contaminated eval doc with shared
+    n-gram and train-doc counts. operators/dedup.py::
+    exact_ngram_contamination (df-capped inverted join)."""
+    from importtoneo4j_spark.operators.dedup import exact_ngram_contamination
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    ev = d.filter(F.col("doc_id") % 2 == 1)
+    out = exact_ngram_contamination(train, ev, "doc_id", "text", n=13, max_df=1000)
+    return out.select(
+        "eval_id",
+        F.col("n_shared_ngrams").cast("long").alias("n_shared_ngrams"),
+        F.col("n_train_docs").cast("long").alias("n_train_docs"),
+    )
+
+
+def _sql_contamination_exact(n: int = 13, max_df: int = 1000) -> str:
+    return rf"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                                   for i in range(1, len(toks) - {n - 2})])) AS gram
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= {n}
+    ), train AS (
+      SELECT * FROM g WHERE doc_id % 2 = 0
+    ), hot AS (
+      SELECT gram FROM train GROUP BY gram HAVING count(*) > {max_df}
+    ), train_c AS (
+      SELECT * FROM train WHERE gram NOT IN (SELECT gram FROM hot)
+    )
+    SELECT e.doc_id AS eval_id,
+           count(DISTINCT e.gram) AS n_shared_ngrams,
+           count(DISTINCT t.doc_id) AS n_train_docs
+    FROM g e JOIN train_c t ON e.gram = t.gram
+    WHERE e.doc_id % 2 = 1
+    GROUP BY 1
+    """
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher/C4 filter
+    family): duplicate-3-gram fraction and top-word dominance ratio per
+    document — all native expressions plus one explode/groupBy for the
+    word mode."""
+    d = _load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    g3 = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    base = d.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_words"),
+        F.size(g3).alias("n3"),
+        F.size(F.array_distinct(g3)).alias("n3d"),
+    )
+    word_mode = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_w"))
+    )
+    return base.join(word_mode, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(1 - F.col("n3d").cast("double") / F.col("n3"), 4).alias(
+            "dup_3gram_frac"
+        ),
+        F.round(F.col("top_w").cast("double") / F.col("n_words"), 4).alias(
+            "top_word_ratio"
+        ),
+    )
+
+
+def _sql_text_repetition() -> str:
+    return r"""
+    WITH b AS (
+      SELECT doc_id, toks,
+             CAST(len(toks) AS INTEGER) AS n_words,
+             [array_to_string(toks[i:i+2], ' ')
+              for i in range(1, len(toks) - 1)] AS g3
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), wm AS (
+      SELECT doc_id, max(c) AS top_w
+      FROM (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS w FROM b)
+            GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_words,
+           round(1 - len(list_distinct(g3)) * 1.0 / len(g3), 4) AS dup_3gram_frac,
+           round(top_w * 1.0 / n_words, 4) AS top_word_ratio
+    FROM b JOIN wm ON b.doc_id = wm.doc_id
     """
 
 
@@ -1450,8 +1594,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
         "contamination_check": contamination_check,
+        "contamination_exact": contamination_exact,
         "dedup_simhash": dedup_simhash,
+        "text_repetition": text_repetition,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "emb_near_dups": emb_near_dups,
@@ -1495,8 +1642,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "dedup_ngram_jaccard": _sql_dedup_ngram(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "contamination_check": _sql_contamination(),
+        "contamination_exact": _sql_contamination_exact(),
         "dedup_simhash": _sql_dedup_simhash(),
+        "text_repetition": _sql_text_repetition(),
         "ann_cosine_topk": _sql_ann_topk(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "emb_near_dups": _sql_emb_near_dups(),

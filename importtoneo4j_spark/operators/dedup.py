@@ -187,6 +187,80 @@ def cross_corpus_overlap(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_perm: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash near-dup pair graph, keep_id = minimum doc id per component —
+    the document-level form of the entity canonicalization the KG pipeline
+    runs (operators/canonicalize.py hash-min CC, reused verbatim; the
+    reference analog is the MERGE-on-natural-key collapse,
+    Neo4j.java:160-173, generalized to fuzzy evidence).
+
+    Pairwise near-dup lists under-serve a training pipeline: to drop
+    duplicates you need the transitive grouping (A~B, B~C => one keeper
+    for {A,B,C}), and pair-at-a-time dropping is order-dependent. Returns
+    (doc_id, keep_id) for every document in a non-trivial cluster; docs
+    absent from the output are their own keeper. Scale shape: the CC loop
+    runs on the PAIR GRAPH (near-dup edges, orders of magnitude smaller
+    than the corpus), converging in O(cluster diameter) rounds.
+    """
+    from importtoneo4j_spark.operators.canonicalize import connected_components
+
+    pairs = minhash_near_dups(
+        df, id_col, text_col, n, num_perm, bands, rows_per_band, threshold, max_bucket
+    )
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    comp = connected_components(edges)
+    return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("keep_id"))
+
+
+def exact_ngram_contamination(
+    corpus_train: DataFrame,
+    corpus_eval: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact-substring decontamination probe: eval documents sharing ANY
+    exact token n-gram with any training document — the published
+    eval-decontamination practice (13-gram overlap window), complementing
+    the fuzzy cross_corpus_overlap.
+
+    Inverted n-gram train x eval join; training-side n-grams with document
+    frequency above ``max_df`` are dropped from the index (the same
+    drop_hot_buckets economics as every blocking join here: a boilerplate
+    13-gram in 10^6 training docs would fan out per eval hit; it also
+    carries no contamination signal). Returns one row per contaminated
+    eval doc: (eval_id, n_shared_ngrams, n_train_docs).
+    """
+    def inv(df: DataFrame, alias: str) -> DataFrame:
+        return df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
+            F.col(id_col).alias(alias),
+            F.explode(token_ngrams(F.col(text_col), n)).alias("g"),
+        )
+
+    train = drop_hot_buckets(inv(corpus_train, "train_id"), max_df, key="g")
+    ev = inv(corpus_eval, "eval_id")
+    return (
+        ev.join(train, "g")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_ngrams"),
+            F.countDistinct("train_id").alias("n_train_docs"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, hash_fn: str = "md5"
 ) -> DataFrame:

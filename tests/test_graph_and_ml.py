@@ -421,3 +421,59 @@ def test_ivf_refined_recall_clustered(spark):
     ivf_set = {(r["qid"], r["vec_id"]) for r in ivf.collect()}
     recall = len(bf_set & ivf_set) / len(bf_set)
     assert recall >= 0.9, f"recall@5 = {recall}"
+
+
+def test_dedup_clusters_match_union_find(spark, docs):
+    """dedup_clusters == python union-find over the verified MinHash pairs:
+    transitive grouping with keep_id = component minimum."""
+    from importtoneo4j_spark.operators.dedup import dedup_clusters
+
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in minhash_near_dups(docs, "doc_id", "text", threshold=0.5).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["keep_id"]
+        for r in dedup_clusters(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_exact_ngram_contamination_planted(spark):
+    from importtoneo4j_spark.operators.dedup import exact_ngram_contamination
+
+    window = "a b c d e f g h i j k l m"  # one exact 13-gram
+    train = spark.createDataFrame(
+        [(0, window + " trainpad1 trainpad2"), (2, "unrelated " * 14)],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(1, "evalpad " + window), (3, "clean " * 15)], ["doc_id", "text"]
+    )
+    got = {
+        r["eval_id"]: (r["n_shared_ngrams"], r["n_train_docs"])
+        for r in exact_ngram_contamination(train, ev, "doc_id", "text", n=13).collect()
+    }
+    assert got == {1: (1, 1)}  # only the planted window, only one train doc
+    # df cap: a boilerplate gram in every train doc is excluded from the index
+    boiler_train = spark.createDataFrame(
+        [(i, window) for i in range(0, 12, 2)], ["doc_id", "text"]
+    )
+    capped = exact_ngram_contamination(
+        boiler_train, ev, "doc_id", "text", n=13, max_df=3
+    )
+    assert capped.count() == 0
