@@ -462,6 +462,50 @@ def _sql_f9() -> str:
     """
 
 
+def j5_traversal_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traversal with conjunctive end-node property equalities
+    (Neo4j.findNeighbourNodesWithParameters, Neo4j.java:278-312: ALL
+    supplied parameters must match) — a fixed customer's ordered parts of
+    one brand."""
+    g = _tpch_graph(spark, sf_dir)
+    nb = g.find_neighbours_with_params("C1", pred="ordered", brand="Brand#4")
+    return nb.select("to_id", "name", F.col("properties")["brand"].alias("brand"))
+
+
+def _sql_j5() -> str:
+    return """
+    SELECT DISTINCT 'P' || l_partkey AS to_id, p_name AS name, p_brand AS brand
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE o_custkey = 1 AND p_brand = 'Brand#4'
+    """
+
+
+def g2_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop shared-neighbour traversal (customer -ordered-> part
+    <-supplies- supplier) -> distinct supplier-partner count per customer.
+    operators/graph.py::two_hop_partners — the hub-capped middle-node
+    self-join."""
+    g = _tpch_graph(spark, sf_dir)
+    pairs = g.two_hop_partners("ordered", "supplies")
+    return pairs.groupBy(F.col("x").alias("cust_id")).agg(
+        F.countDistinct("y").alias("n_suppliers")
+    )
+
+
+def _sql_g2() -> str:
+    return """
+    WITH e1 AS (SELECT DISTINCT 'C' || o_custkey AS x, 'P' || l_partkey AS m
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e2 AS (SELECT DISTINCT 'S' || l_suppkey AS y, 'P' || l_partkey AS m
+                FROM lineitem)
+    SELECT x AS cust_id, count(DISTINCT y) AS n_suppliers
+    FROM e1 JOIN e2 ON e1.m = e2.m
+    GROUP BY 1
+    """
+
+
 def g1_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph degree aggregate over the edge table (out-degree + distinct
     rel-type count per source) — partial-aggregating groupBy, no window."""
@@ -1579,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_one_hop_traversal": j4_one_hop_traversal,
         "f9_label_scan": f9_label_scan,
         "g1_degree": g1_degree,
+        "j5_traversal_theta": j5_traversal_theta,
+        "g2_two_hop": g2_two_hop,
         "s9_schema_catalog": s9_schema_catalog,
         "t3_asof_join": t3_asof_join,
         "a3_label_union": a3_label_union,
@@ -1627,6 +1673,8 @@ def oracle_sql() -> dict[str, str]:
         "j4_one_hop_traversal": _sql_j4(),
         "f9_label_scan": _sql_f9(),
         "g1_degree": _sql_g1(),
+        "j5_traversal_theta": _sql_j5(),
+        "g2_two_hop": _sql_g2(),
         "s9_schema_catalog": _sql_s9(),
         "t3_asof_join": _sql_t3(),
         "a3_label_union": _sql_a3(),

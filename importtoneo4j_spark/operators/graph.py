@@ -161,6 +161,40 @@ class GraphView:
             df = df.filter(col == F.lit(v))
         return len(df.take(1)) > 0
 
+    def two_hop_partners(
+        self,
+        pred1: str,
+        pred2: str,
+        max_fanout: int | None = None,
+    ) -> DataFrame:
+        """(x, y) pairs connected via x -pred1-> m <-pred2- y: the shared-
+        neighbour join, i.e. the 2-hop composition of the reference's 1-hop
+        findNeighbourNodes (Neo4j.java:254-277) the embedded engine would
+        run as two nested traversals.
+
+        Scale shape: this is a self-join on the MIDDLE node — a hub m with
+        in-degree d1 from pred1 and d2 from pred2 emits d1*d2 pairs. Pass
+        ``max_fanout`` to drop middle nodes whose total degree exceeds it
+        (the drop_hot_buckets pattern, operators/link.py:129): at a 100 TB
+        graph the hub tail is exactly the accidental-cartesian risk, and
+        hub-mediated 2-hop pairs are usually the least informative."""
+        e1 = self.triples.filter(F.col("pred") == pred1).select(
+            F.col("subj").alias("x"), F.col("obj").alias("m")
+        )
+        e2 = self.triples.filter(F.col("pred") == pred2).select(
+            F.col("subj").alias("y"), F.col("obj").alias("m")
+        )
+        if max_fanout is not None:
+            # partial-aggregating count + anti-join over BOTH edge sets
+            # (same two-phase shape as link.drop_hot_buckets)
+            both = e1.select("m").unionByName(e2.select("m"))
+            hot = (
+                both.groupBy("m").count().filter(F.col("count") > max_fanout).select("m")
+            )
+            e1 = e1.join(hot, "m", "left_anti")
+            e2 = e2.join(hot, "m", "left_anti")
+        return e1.join(e2, "m").select("x", "y").distinct()
+
     # ------------------------------------------------------------------- SQL
     def run_sql(self, spark: SparkSession, query: str) -> DataFrame:
         """Register views and run SQL — the spark.sql analog of the

@@ -477,3 +477,24 @@ def test_exact_ngram_contamination_planted(spark):
         boiler_train, ev, "doc_id", "text", n=13, max_df=3
     )
     assert capped.count() == 0
+
+
+def test_two_hop_partners_hub_cap(spark, graph):
+    """2-hop shared-neighbour join + hub cap: pairs through a middle node
+    hotter than max_fanout are dropped (accidental-cartesian guard)."""
+    got = {(r["x"], r["y"]) for r in graph.two_hop_partners("works_at", "uses").collect()}
+    # a -works_at-> b; a -uses-> c; b -works_at-> c: shared middle c pairs (b, a)
+    assert got == {("b", "a")}
+    triples = spark.createDataFrame(
+        [("h%d" % i, "p1", "hub") for i in range(10)]
+        + [("k%d" % i, "p2", "hub") for i in range(10)]
+        + [("x", "p1", "m"), ("y", "p2", "m")],
+        "subj string, pred string, obj string",
+    )
+    from importtoneo4j_spark.operators.graph import GraphView
+
+    g = GraphView(None, triples)
+    allp = g.two_hop_partners("p1", "p2")
+    assert allp.count() == 101  # 10*10 hub pairs + (x, y)
+    capped = g.two_hop_partners("p1", "p2", max_fanout=5)
+    assert {(r["x"], r["y"]) for r in capped.collect()} == {("x", "y")}
