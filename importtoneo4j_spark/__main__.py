@@ -5,12 +5,16 @@ Usage:
   python -m importtoneo4j_spark --input <transcripts> --workdir <dir> \
       [--run-id run-001] [--mode overwrite|append] [--no-resume] \
       [--master local[32]] [--gen-convs N] [--no-fail-fast] \
-      [--enrich <attrs.parquet>] [--enrich-best-effort]
+      [--enrich <attrs.parquet>] [--enrich-best-effort] \
+      [--fold-epochs <stream_output_dir>]
 
 With --gen-convs N and no --input, generates a deterministic synthetic
 corpus first (datagen.py, seed=42). --enrich runs the EP2 second pass (the
 reference's ``-a`` annotation import) after materialize: the parquet must
-carry entity_id plus attribute columns.
+carry entity_id plus attribute columns. --fold-epochs skips ingest/extract
+and instead folds the epoch-partitioned output of
+streaming/incremental.py through the batch link -> canonicalize ->
+materialize stages (the lambda fold; --input is not required).
 Prints a one-line JSON metrics report on stdout.
 """
 
@@ -38,26 +42,32 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--enrich", help="EP2 attribute parquet (entity_id + cols)")
     ap.add_argument("--enrich-best-effort", action="store_true",
                     help="count misses instead of aborting on them")
+    ap.add_argument("--fold-epochs",
+                    help="epoch-partitioned streaming extraction dir to fold "
+                    "through the batch link/canonicalize/materialize stages")
     args = ap.parse_args(argv)
 
     spark = get_spark("importtoneo4j_spark", master=args.master)
 
     input_path = args.input
-    if input_path is None:
+    if input_path is None and args.fold_epochs is None:
         if args.gen_convs is None:
-            ap.error("either --input or --gen-convs is required")
+            ap.error("either --input, --gen-convs or --fold-epochs is required")
         input_path = f"{args.workdir}/_generated_transcripts"
         TranscriptGenerator().write_parquet(input_path, n_convs=args.gen_convs)
 
     pipe = KGPipeline(
         spark,
-        input_path,
+        input_path or "",
         args.workdir,
         run_id=args.run_id,
         mode=args.mode,
         fail_fast=not args.no_fail_fast,
     )
-    metrics = pipe.run(resume=not args.no_resume)
+    if args.fold_epochs:
+        metrics = pipe.fold_epochs(args.fold_epochs)
+    else:
+        metrics = pipe.run(resume=not args.no_resume)
     if args.enrich:
         pipe.enrich(
             spark.read.parquet(args.enrich),

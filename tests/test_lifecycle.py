@@ -137,6 +137,18 @@ def test_fold_epochs_matches_batch(spark, data, tmp_path_factory):
     assert m_fold["materialize"]["triples"] > 0
     assert m_fold["materialize"]["checksum"] == m_batch["materialize"]["checksum"]
 
+    # CLI wiring: --fold-epochs drives the same path (getOrCreate reuses
+    # the active session, so this is in-process)
+    from importtoneo4j_spark.__main__ import main as cli_main
+
+    cli_work = str(tmp_path_factory.mktemp("fold") / "kg_cli")
+    assert cli_main(["--workdir", cli_work, "--fold-epochs", out]) == 0
+    cli_pipe = KGPipeline(spark, data, cli_work, run_id="unused")
+    assert (
+        cli_pipe.store.read_marker("materialize")["checksum"]
+        == m_batch["materialize"]["checksum"]
+    )
+
 
 def test_enrich_duplicate_attrs_guard(spark, data, tmp_path_factory):
     """ADVICE r2: an attribute table with duplicate keys must not fan out
