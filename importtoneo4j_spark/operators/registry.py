@@ -68,6 +68,8 @@ def schema_registry(
     if declared_rels is None:
         declared_rels = DECLARED_REL_TYPES
     spark = nodes.sparkSession
+    # one pass over each input; cached because BOTH output branches consume
+    # it (without the cache the union would re-scan nodes+triples twice)
     obs = (
         nodes.select(F.explode("labels").alias("name"))
         .groupBy("name")
@@ -78,6 +80,7 @@ def schema_registry(
             .agg(F.count("*").alias("n_instances"))
             .withColumn("kind", F.lit("rel_type"))
         )
+        .cache()
     )
     decl_rows = [("node_label", n, k) for n, k in declared_labels] + [
         ("rel_type", r, None) for r in declared_rels
@@ -85,17 +88,24 @@ def schema_registry(
     decl = spark.createDataFrame(
         decl_rows, "kind string, name string, key_constraint string"
     )
-    d, o = decl.alias("d"), obs.alias("o")
-    j = d.join(
-        o,
-        (F.col("d.kind") == F.col("o.kind")) & (F.col("d.name") == F.col("o.name")),
-        "full_outer",
+    # declared LEFT-join observed + observed ANTI declared, instead of one
+    # full_outer: a full outer join can never broadcast (SMJ on both sides,
+    # two extra shuffle/sort stages); both of these broadcast the tiny
+    # type-cardinality sides
+    declared_part = decl.join(obs, ["kind", "name"], "left").select(
+        "kind",
+        "name",
+        "key_constraint",
+        F.lit(True).alias("declared"),
+        F.col("n_instances").isNotNull().alias("instantiated"),
+        F.coalesce("n_instances", F.lit(0)).cast("long").alias("n_instances"),
     )
-    return j.select(
-        F.coalesce(F.col("d.kind"), F.col("o.kind")).alias("kind"),
-        F.coalesce(F.col("d.name"), F.col("o.name")).alias("name"),
-        F.col("d.key_constraint").alias("key_constraint"),
-        F.col("d.name").isNotNull().alias("declared"),
-        F.col("o.name").isNotNull().alias("instantiated"),
-        F.coalesce(F.col("o.n_instances"), F.lit(0)).cast("long").alias("n_instances"),
+    undeclared_part = obs.join(decl.select("kind", "name"), ["kind", "name"], "left_anti").select(
+        "kind",
+        "name",
+        F.lit(None).cast("string").alias("key_constraint"),
+        F.lit(False).alias("declared"),
+        F.lit(True).alias("instantiated"),
+        F.col("n_instances").cast("long").alias("n_instances"),
     )
+    return declared_part.unionByName(undeclared_part)
