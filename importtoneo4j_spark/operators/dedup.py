@@ -261,75 +261,23 @@ def exact_ngram_contamination(
     )
 
 
-def simhash(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, hash_fn: str = "md5"
-) -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over a 64-bit hash
-    of the distinct token n-grams. One explode + one wide aggregation, all
-    codegen'd. Features are n-grams, not unigrams: on low-entropy vocabularies
-    every document's unigram SET is nearly identical and unigram SimHash
-    degenerates (all hashes collide).
-
-    hash_fn='md5' (default) derives the 64 bits from the first 16 hex chars
-    of md5 as two 32-bit halves — md5 hex is identical in Spark and DuckDB,
-    which is what makes the whole near-dup query oracle-checkable in plain
-    SQL (same trick as the MinHash family, functions/text.py:96-99).
-    hash_fn='xxhash64' keeps the cheaper JVM-native hash for production runs
-    that don't need SQL parity."""
-    toks = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
-        F.col(id_col).alias("doc"),
-        F.explode(token_ngrams(F.col(text_col), n)).alias("tok"),
-    )
-
-    def bitmask(b: int):
-        # shiftleft stays in the JVM's signed long domain (bit 63 would
-        # overflow a Python-literal F.lit)
-        return F.shiftleft(F.lit(1).cast("long"), b)
-
-    if hash_fn == "xxhash64":
-        toks = toks.withColumn("h", F.xxhash64("tok"))
-
-        def bit_set(b: int):
-            return F.col("h").bitwiseAND(bitmask(b)) != 0
-
-    else:  # md5: bits 0-31 from hex chars 9-16 ("lo"), 32-63 from 1-8 ("hi")
-        md = F.md5(F.col("tok"))
-        toks = toks.select(
-            "doc",
-            F.conv(F.substring(md, 1, 8), 16, 10).cast("long").alias("_hi"),
-            F.conv(F.substring(md, 9, 8), 16, 10).cast("long").alias("_lo"),
-        )
-
-        def bit_set(b: int):
-            part = F.col("_lo") if b < 32 else F.col("_hi")
-            return F.shiftright(part, b % 32).bitwiseAND(F.lit(1)) == 1
-
-    votes = [
-        F.sum(F.when(bit_set(b), 1).otherwise(-1)).alias(f"v{b}") for b in range(64)
-    ]
-    agg = toks.groupBy("doc").agg(*votes)
-    sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"v{b}") > 0, bitmask(b)).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    return agg.select("doc", sim.alias("simhash"))
-
-
 def simhash128(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, hash_fn: str = "md5"
 ) -> DataFrame:
     """128-bit SimHash per document as two longs (doc, sim_lo, sim_hi):
-    sim_lo carries bits 0-63, sim_hi bits 64-127. Same per-bit majority vote
-    as simhash(), but using ALL 128 bits md5 already produces — which is
-    what lets the banded blocking use 32-bit band values (2^32 key space)
-    instead of the 64-bit version's 16-bit bands, whose 65,536-key ceiling
-    guarantees quadratic bucket blowup past ~10^6 documents.
+    sim_lo carries bits 0-63, sim_hi bits 64-127 — per-bit majority vote
+    over the distinct token n-grams' md5 bits (features are n-grams, not
+    unigrams: on low-entropy vocabularies every document's unigram SET is
+    nearly identical and unigram SimHash degenerates). Using ALL 128 bits
+    md5 already produces is what lets the banded blocking use 32-bit band
+    values (2^32 key space) instead of 16-bit bands, whose 65,536-key
+    ceiling guarantees quadratic bucket blowup past ~10^6 documents.
 
-    Bit convention (mirrored in the DuckDB oracle): word w = bit // 32,
-    words = [md5 hex chars 9-16, 1-8, 17-24, 25-32] — words 0 and 1 match
-    simhash(hash_fn='md5') exactly. hash_fn='xxhash64' derives the two extra
-    words from a salted second xxhash64 for production runs that don't need
-    SQL parity."""
+    Bit convention (mirrored in the DuckDB oracle — md5 hex is identical in
+    both engines, the same trick as the MinHash family): word w = bit // 32,
+    words = [md5 hex chars 9-16, 1-8, 17-24, 25-32]. hash_fn='xxhash64'
+    derives the four words from two salted xxhash64 calls for production
+    runs that don't need SQL parity."""
     toks = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
         F.col(id_col).alias("doc"),
         F.explode(token_ngrams(F.col(text_col), n)).alias("tok"),
