@@ -1532,6 +1532,32 @@ def _sql_p1() -> str:
     """
 
 
+def t4_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream — the batch form
+    of the Structured Streaming windowed agg (streaming/windows.py uses the
+    same F.window operator): hourly event counts + value totals per type.
+    Oracle: DuckDB time_bucket (both align windows to the epoch)."""
+    e = _load(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def _sql_t4() -> str:
+    return """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """
+
+
 def s9_schema_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema registry as data (SURVEY §1.1): the declared type vocabulary —
     including reserved-but-uninstantiated entries, the reference's pattern
@@ -1627,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_two_hop": g2_two_hop,
         "s9_schema_catalog": s9_schema_catalog,
         "t3_asof_join": t3_asof_join,
+        "t4_tumbling_window": t4_tumbling_window,
         "a3_label_union": a3_label_union,
         "a6_guarded_ratio": a6_guarded_ratio,
         "u2_anti_join_delta": u2_anti_join_delta,
@@ -1677,6 +1704,7 @@ def oracle_sql() -> dict[str, str]:
         "g2_two_hop": _sql_g2(),
         "s9_schema_catalog": _sql_s9(),
         "t3_asof_join": _sql_t3(),
+        "t4_tumbling_window": _sql_t4(),
         "a3_label_union": _sql_a3(),
         "a6_guarded_ratio": _sql_a6(),
         "u2_anti_join_delta": _sql_u2(),
