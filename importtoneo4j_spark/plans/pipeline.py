@@ -71,6 +71,11 @@ class KGPipeline:
 
     def __post_init__(self) -> None:
         self.store = TableStore(self.spark, self.workdir)
+        # set by fold_epochs: the folded extraction is the turn inventory,
+        # even when a stale 'ingested' table from an earlier batch run still
+        # sits in the workdir (ADVICE r3 low: sourcing watermarks from that
+        # stale ingest would mis-filter the next append's mention delta)
+        self._folded = False
 
     # ------------------------------------------------------------------ util
     def _done(self, stage: str) -> bool:
@@ -214,7 +219,21 @@ class KGPipeline:
             # session, and a pred-partitioned append into the flat bucketed
             # directory is a mixed layout partition discovery rejects.
             prev_marker = self.store.read_marker("materialize") or {}
-            was_bucketed = prev_marker.get("triples_layout") == "bucketed"
+            prev_layout = prev_marker.get("triples_layout")
+            if prev_layout is None:
+                # legacy marker without the layout key (ADVICE r3 medium):
+                # probe the directory instead of assuming pred-partitioned —
+                # a wrong guess appends the OTHER layout into this one and
+                # partition discovery then silently drops files.
+                prev_layout = (
+                    "pred_partitioned"
+                    if self.store.has_partition_dirs("triples", "pred")
+                    else "flat"
+                )
+            # any plain layout stays plain (ADVICE r3 high): after a
+            # bucketed->flat demotion the marker reads 'flat', and a second
+            # append must NOT write pred= dirs into that flat directory
+            plain = prev_layout in ("bucketed", "flat")
             self.spark.sql(
                 f"DROP TABLE IF EXISTS {self.store.catalog_name('triples')}"
             )
@@ -222,9 +241,9 @@ class KGPipeline:
                 self.store.read("triples_delta"),
                 "triples",
                 mode="append",
-                partition_by=None if was_bucketed else ["pred"],
+                partition_by=None if plain else ["pred"],
             )
-            layout = "flat" if was_bucketed else "pred_partitioned"
+            layout = "flat" if plain else "pred_partitioned"
             # node upsert (not insert-new-only): labels/surfaces/mention
             # counts accumulate onto existing nodes across runs, matching
             # the reference's re-run MERGE (addNodeLabel) — ADVICE r1 fix.
@@ -311,7 +330,7 @@ class KGPipeline:
         # assertions are the best available turn inventory there.
         wm_src = (
             self._valid()
-            if self.store.exists("ingested")
+            if self.store.exists("ingested") and not self._folded
             else extracted.select("conv_id", "turn_idx")
         )
         run_wm = wm_src.groupBy("conv_id").agg(
@@ -463,6 +482,7 @@ class KGPipeline:
         (same corpus -> same checksum, asserted in tests/test_lifecycle.py).
         """
         t0 = time.time()
+        self._folded = True
         ext = self.spark.read.parquet(stream_output_dir).drop("epoch")
         n = self._write_counted(ext, "extracted")
         self.metrics["extract"] = {"assertions": n, "folded": True}

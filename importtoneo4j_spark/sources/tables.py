@@ -66,6 +66,23 @@ class TableStore:
                 return True
         return False
 
+    def has_partition_dirs(self, name: str, col: str) -> bool:
+        """True if the table directory contains ``col=...`` partition
+        subdirectories — the fallback layout probe for markers written
+        before the ``triples_layout`` key existed (ADVICE r3 medium): a
+        legacy marker must never default to a pred-partitioned append onto
+        what might be a flat/bucketed directory (silent mixed layout)."""
+        if self.iceberg:
+            return False
+        fs, hp = self._fs(self.path(name))
+        if not fs.exists(hp):
+            return False
+        prefix = f"{col}="
+        for st in fs.listStatus(hp):
+            if st.isDirectory() and st.getPath().getName().startswith(prefix):
+                return True
+        return False
+
     def write(
         self,
         df: DataFrame,
