@@ -68,8 +68,12 @@ def schema_registry(
     if declared_rels is None:
         declared_rels = DECLARED_REL_TYPES
     spark = nodes.sparkSession
-    # one pass over each input; cached because BOTH output branches consume
-    # it (without the cache the union would re-scan nodes+triples twice)
+    # one pass over each input. The observed side is consumed exactly ONCE:
+    # observed and declared rows are tagged and unioned, then merged by one
+    # groupBy at TYPE cardinality (partial-aggregating, a few-row shuffle).
+    # The previous shape (declared LEFT observed + observed ANTI declared)
+    # consumed `obs` twice and needed a .cache() that a long-lived session
+    # never released (ADVICE r3 low) — this shape needs no cache at all.
     obs = (
         nodes.select(F.explode("labels").alias("name"))
         .groupBy("name")
@@ -80,7 +84,6 @@ def schema_registry(
             .agg(F.count("*").alias("n_instances"))
             .withColumn("kind", F.lit("rel_type"))
         )
-        .cache()
     )
     decl_rows = [("node_label", n, k) for n, k in declared_labels] + [
         ("rel_type", r, None) for r in declared_rels
@@ -88,24 +91,29 @@ def schema_registry(
     decl = spark.createDataFrame(
         decl_rows, "kind string, name string, key_constraint string"
     )
-    # declared LEFT-join observed + observed ANTI declared, instead of one
-    # full_outer: a full outer join can never broadcast (SMJ on both sides,
-    # two extra shuffle/sort stages); both of these broadcast the tiny
-    # type-cardinality sides
-    declared_part = decl.join(obs, ["kind", "name"], "left").select(
-        "kind",
-        "name",
-        "key_constraint",
-        F.lit(True).alias("declared"),
-        F.col("n_instances").isNotNull().alias("instantiated"),
-        F.coalesce("n_instances", F.lit(0)).cast("long").alias("n_instances"),
-    )
-    undeclared_part = obs.join(decl.select("kind", "name"), ["kind", "name"], "left_anti").select(
+    tagged = obs.select(
         "kind",
         "name",
         F.lit(None).cast("string").alias("key_constraint"),
         F.lit(False).alias("declared"),
         F.lit(True).alias("instantiated"),
         F.col("n_instances").cast("long").alias("n_instances"),
+    ).unionByName(
+        decl.select(
+            "kind",
+            "name",
+            "key_constraint",
+            F.lit(True).alias("declared"),
+            F.lit(False).alias("instantiated"),
+            F.lit(0).cast("long").alias("n_instances"),
+        )
     )
-    return declared_part.unionByName(undeclared_part)
+    # max() merges the (at most two) rows per type: max over a nullable
+    # string keeps the declared key_constraint, max over booleans is OR,
+    # max over counts keeps the observed count (declared rows carry 0)
+    return tagged.groupBy("kind", "name").agg(
+        F.max("key_constraint").alias("key_constraint"),
+        F.max("declared").alias("declared"),
+        F.max("instantiated").alias("instantiated"),
+        F.max("n_instances").alias("n_instances"),
+    )
