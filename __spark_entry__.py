@@ -1271,7 +1271,11 @@ def _sql_ann_ivf() -> str:
 
 
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, IVF-bucket-blocked."""
+    """Embedding-cosine near-dup pairs, IVF-bucket-blocked, with the
+    hot-bucket cap active (auto mode: buckets over 8x the uniform
+    expectation, floored at 256, are dropped before the pair join — the
+    oracle SQL mirrors the same HAVING guard, so the gate verifies the
+    GUARDED plan, VERDICT r3 #1)."""
     from importtoneo4j_spark.operators.similarity import embedding_near_dups
 
     e = _load(spark, sf_dir, "embeddings")["embeddings"]
@@ -1293,9 +1297,15 @@ def _sql_emb_near_dups() -> str:
                                   ORDER BY {cos_ec} DESC, c.centroid_id) AS rnk
         FROM embeddings e, cents c)
       WHERE rnk = 1
+    ), hot AS (
+      SELECT bucket FROM assigned GROUP BY bucket
+      HAVING count(*) > greatest(256.0,
+                                 8.0 * (SELECT count(*) FROM assigned) / 16)
+    ), capped AS (
+      SELECT * FROM assigned WHERE bucket NOT IN (SELECT bucket FROM hot)
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id, round({cos_ab}, 4) AS sim
-    FROM assigned a JOIN assigned b
+    FROM capped a JOIN capped b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {cos_ab} >= 0.45
     """
