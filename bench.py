@@ -82,7 +82,13 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
-    # KG pipeline end-to-end on synthetic transcripts
+    # KG pipeline end-to-end on synthetic transcripts — min-of-2 with a
+    # fresh workdir per repeat (VERDICT r3 #2): the headline queries above
+    # get a warm pass before their timed pass, but the pipeline used to get
+    # one cold shot, which is exactly where this VM's 2-3x I/O-writeback
+    # swing bites. min() of independent repeats is the noise-robust
+    # estimator BENCH_SCALING.json already justifies (deterministic 1-core
+    # legs => all variance is additive host noise).
     n_convs = bench_convs_for_sf(sf)
     data = transcripts_path(n_convs)
     import shutil
@@ -91,11 +97,17 @@ def main() -> None:
     # tmpfs scratch (same rationale as bench_scaling.py: the sandbox's single
     # shared disk is not the per-node storage a cluster would have)
     shm_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    work = tempfile.mkdtemp(prefix="kg_bench_", dir=shm_root)
-    pipe = KGPipeline(spark, data, work, run_id="bench")
-    m = pipe.run(resume=False)
-    shutil.rmtree(work, ignore_errors=True)
-    kg_sec = round(m["wall_sec"], 3)
+    kg_repeats = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "2"))
+    kg_sec, m = None, None
+    for rep in range(kg_repeats):
+        work = tempfile.mkdtemp(prefix="kg_bench_", dir=shm_root)
+        pipe = KGPipeline(spark, data, work, run_id="bench")
+        m_rep = pipe.run(resume=False)
+        shutil.rmtree(work, ignore_errors=True)
+        sec = round(m_rep["wall_sec"], 3)
+        print(f"[bench] kg_pipeline rep {rep}: {sec}s", file=sys.stderr)
+        if kg_sec is None or sec < kg_sec:
+            kg_sec, m = sec, m_rep
     n_turns = m["ingest"]["valid"] + m["ingest"]["rejected"]
     n_triples = m["materialize"]["triples"]
     n_assertions = m["extract"]["assertions"]
