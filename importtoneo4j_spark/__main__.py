@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--fold-epochs",
                     help="epoch-partitioned streaming extraction dir to fold "
                     "through the batch link/canonicalize/materialize stages")
+    ap.add_argument("--fold-threshold", type=int, default=None,
+                    help="append mode: auto-fold (full re-canonicalization) "
+                    "when more than this many existing surfaces would move "
+                    "to a different entity under the full fixpoint; default "
+                    "off (staleness is still reported in the metrics)")
     args = ap.parse_args(argv)
 
     spark = get_spark("importtoneo4j_spark", master=args.master)
@@ -63,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         run_id=args.run_id,
         mode=args.mode,
         fail_fast=not args.no_fail_fast,
+        fold_threshold=args.fold_threshold,
     )
     if args.fold_epochs:
         metrics = pipe.fold_epochs(args.fold_epochs)

@@ -67,6 +67,14 @@ class KGPipeline:
     # this bucket count (catalog table; co-located self/edge joins run
     # shuffle-free — SCALE.md bucket(N, subj) layout). 0 (default) keeps
     # the pred-partitioned parquet-dir layout.
+    fold_threshold: int | None = None  # append mode: when more than this
+    # many EXISTING surfaces would move to a different canonical entity
+    # under this run's full fixpoint (cross-snapshot merge evidence that
+    # per-run appends must discard), the run auto-folds — full
+    # re-canonicalization instead of the new-keys-only append. None (the
+    # default) keeps detection-only: the count is always exposed as
+    # metrics['canonicalize']['stale_surfaces'], so a deployment can watch
+    # staleness accrue even without auto-fold (VERDICT r3 #4).
     metrics: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -76,6 +84,9 @@ class KGPipeline:
         # sits in the workdir (ADVICE r3 low: sourcing watermarks from that
         # stale ingest would mis-filter the next append's mention delta)
         self._folded = False
+        # set when stage_canonicalize trips fold_threshold: materialize then
+        # takes its overwrite branch (full rebuild at the new fixpoint)
+        self._auto_fold = False
 
     # ------------------------------------------------------------------ util
     def _done(self, stage: str) -> bool:
@@ -176,16 +187,60 @@ class KGPipeline:
         if self.mode == "append" and self.store.exists("links") and self._prev_runs():
             # cross-run id stability: a surface already in the snapshot keeps
             # its canonical_id; only genuinely new surfaces are appended with
-            # this run's assignment. Limitation (documented): new evidence
-            # that would MERGE two existing entities needs an overwrite
-            # re-canonicalization (the periodic batch fold — see
-            # streaming/incremental.py docstring); the reference has the
-            # same property, since it MERGEs on exact keys only.
-            fresh = new_keys_only(links, self.store.read("links"), ["surface"])
+            # this run's assignment. New evidence that would MERGE two
+            # existing entities cannot be applied per-append (the reference
+            # has the same property — it MERGEs on exact keys only), but it
+            # IS detected here: `stale` counts existing surfaces whose
+            # full-fixpoint assignment diverges from their snapshot id. Both
+            # metrics ride the fresh-keys write's Observation (placed above
+            # the new-keys filter, so they see every tagged row) — no
+            # separate counting job (VERDICT r3 #8). The entity count is
+            # approx-distinct over coalesce(snapshot id, this run's id),
+            # which under the documented superset-input contract equals the
+            # post-append links table.
+            snap = self.store.read("links").select(
+                "surface", F.col("canonical_id").alias("snap_id")
+            )
+            tagged = links.join(snap, "surface", "left")
+            obs = Observation("canon_append")
+            observed = tagged.observe(
+                obs,
+                F.approx_count_distinct(
+                    F.coalesce("snap_id", "canonical_id")
+                ).alias("n"),
+                F.sum(
+                    (
+                        F.col("snap_id").isNotNull()
+                        & (F.col("snap_id") != F.col("canonical_id"))
+                    ).cast("long")
+                ).alias("stale"),
+            )
+            fresh = observed.filter(F.col("snap_id").isNull()).drop("snap_id")
             self.store.write(fresh, "links", mode="append")
-            n = self.store.read("links").select(
-                F.approx_count_distinct("canonical_id").alias("n")
-            ).first()["n"]
+            n = int(obs.get["n"])
+            stale = int(obs.get["stale"] or 0)
+            self.metrics["canonicalize"] = {"entities": n, "stale_surfaces": stale}
+            if self.fold_threshold is not None and stale > self.fold_threshold:
+                # auto-fold (VERDICT r3 #4): enough cross-snapshot merge
+                # evidence accrued that the append-mode graph diverges from
+                # the fixpoint — rebuild the links table at THIS run's full
+                # assignment and let materialize take its overwrite branch.
+                # `links` reads only the vocab/link_edges tables, never the
+                # links path, so a direct overwrite is safe (no staging).
+                self._auto_fold = True
+                obs2 = Observation("entities_fold")
+                self.store.write(
+                    links.observe(
+                        obs2, F.approx_count_distinct("canonical_id").alias("n")
+                    ),
+                    "links",
+                )
+                n = int(obs2.get["n"])
+                self.metrics["canonicalize"] = {
+                    "entities": n,
+                    "stale_surfaces": stale,
+                    "auto_folded": True,
+                }
         else:
             obs = Observation("entities")
             self.store.write(
@@ -194,8 +249,8 @@ class KGPipeline:
             )
             n = int(obs.get["n"])  # approx is fine for a metric; exact count
             # would need a distinct shuffle just for observability
-        self.metrics["canonicalize"] = {"entities": n}
-        self._mark("canonicalize", entities=n)
+            self.metrics["canonicalize"] = {"entities": n}
+        self._mark("canonicalize", **self.metrics["canonicalize"])
 
     def stage_materialize(self) -> None:
         extracted = self.store.read("extracted").cache()  # scanned by both
@@ -204,7 +259,15 @@ class KGPipeline:
         triples = canonical_triples(extracted, links)
 
         prev_runs = self._prev_runs()
-        appending = self.mode == "append" and self.store.exists("triples") and prev_runs
+        appending = (
+            self.mode == "append"
+            and self.store.exists("triples")
+            and bool(prev_runs)
+            # an auto-folded run rebuilds at the new fixpoint: the overwrite
+            # branch recomputes triples/nodes/watermarks from the full
+            # superset input, exactly like a fresh overwrite run
+            and not self._auto_fold
+        )
         if appending:
             snapshot = self.store.read("triples")
             delta = new_keys_only(triples, snapshot, ["subj", "pred", "obj"])
