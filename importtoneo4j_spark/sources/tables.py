@@ -93,8 +93,14 @@ class TableStore:
         if self.iceberg:
             w = df.writeTo(f"kg.db.{name}")
             if mode == "overwrite":
+                if partition_by:
+                    from pyspark.sql.functions import col
+
+                    w = w.partitionedBy(*[col(c) for c in partition_by])
                 w.createOrReplace()
             else:
+                # append inherits the existing table's partition spec; the
+                # pipeline only appends to tables it has already created
                 w.append()
             return
         if mode == "overwrite":
@@ -139,7 +145,14 @@ class TableStore:
         cannot carry bucket metadata, so the table registers in the session
         catalog (Iceberg: bucket partition transform instead)."""
         if self.iceberg:
-            from pyspark.sql.functions import bucket, col
+            # the contract tests caught the first drift here already:
+            # functions.bucket moved to functions.partitioning in Spark 4
+            from pyspark.sql.functions import col
+
+            try:
+                from pyspark.sql.functions.partitioning import bucket
+            except ImportError:  # pre-4.0 location
+                from pyspark.sql.functions import bucket
 
             w = df.writeTo(f"kg.db.{name}").partitionedBy(
                 bucket(n_buckets, col(bucket_cols[0]))
