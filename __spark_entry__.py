@@ -1472,12 +1472,13 @@ def _sql_a1() -> str:
 
 def o2_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) per group — Spark
-    percentile == DuckDB quantile_cont."""
+    percentile == DuckDB quantile_cont. The exact aggregator buffers every
+    group value; the scale-safe default is o3_percentiles_approx
+    (functions/stats.py docstring records the tradeoff)."""
+    from importtoneo4j_spark.functions.stats import group_percentiles
+
     e = _load(spark, sf_dir, "events")["events"]
-    return e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
-    )
+    return group_percentiles(e, "value", ["event_type"], exact=True)
 
 
 def _sql_o2() -> str:
@@ -1485,6 +1486,27 @@ def _sql_o2() -> str:
     SELECT event_type,
            round(quantile_cont(value, 0.5), 4) AS p50,
            round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY 1
+    """
+
+
+def o3_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe percentiles: Greenwald-Khanna sketch, constant memory per
+    group (VERDICT r3 #6). For groups under the accuracy parameter the
+    sketch is exhaustive, so the result is the exact DISCRETE percentile —
+    bit-equal to DuckDB quantile_disc, making this gate fully
+    hash-checked, not tolerance-checked."""
+    from importtoneo4j_spark.functions.stats import group_percentiles
+
+    e = _load(spark, sf_dir, "events")["events"]
+    return group_percentiles(e, "value", ["event_type"], exact=False)
+
+
+def _sql_o3() -> str:
+    return """
+    SELECT event_type,
+           round(quantile_disc(value, 0.5), 4) AS p50,
+           round(quantile_disc(value, 0.95), 4) AS p95
     FROM events GROUP BY 1
     """
 
@@ -1689,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_kv_parse": c1_kv_parse,
         "a1_distinct_users": a1_distinct_users,
         "o2_percentiles": o2_percentiles,
+        "o3_percentiles_approx": o3_percentiles_approx,
         "a7_cube_totals": a7_cube_totals,
         "p1_pivot_status_priority": p1_pivot_status_priority,
     }
@@ -1740,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         "c1_kv_parse": _sql_c1(),
         "a1_distinct_users": _sql_a1(),
         "o2_percentiles": _sql_o2(),
+        "o3_percentiles_approx": _sql_o3(),
         "a7_cube_totals": _sql_a7(),
         "p1_pivot_status_priority": _sql_p1(),
     }

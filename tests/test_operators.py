@@ -380,3 +380,26 @@ def test_ivf_argmax_tiebreak_string_ids(spark):
         for r in _argmax_assign(emb, cents, "vec_id", "embedding").collect()
     }
     assert got == {1: "c_a", 2: "c_z"}
+
+
+def test_group_percentiles_exact_vs_approx(spark):
+    """VERDICT r3 #6: the engine offers both percentile variants. Exact
+    interpolates (quantile_cont semantics, memory-unbounded per group);
+    approx returns the exact DISCRETE percentile while the GK sketch is
+    exhaustive (group size <= accuracy), degrading gracefully past it."""
+    from importtoneo4j_spark.functions.stats import _col_name, group_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "g string, v double"
+    )
+    ex = group_percentiles(df, "v", ["g"], probs=(0.5,), exact=True).first()
+    ap = group_percentiles(df, "v", ["g"], probs=(0.5,), exact=False).first()
+    assert ex["p50"] == 50.5  # interpolated between 50 and 51
+    assert ap["p50"] == 50.0  # an actual element of the group
+    # a sketch far smaller than the group still completes and lands close
+    rough = group_percentiles(
+        df, "v", ["g"], probs=(0.5,), exact=False, accuracy=10
+    ).first()
+    assert abs(rough["p50"] - 50.0) <= 10.0
+    assert _col_name(0.999) == "p99_9"
+    assert _col_name(0.95) == "p95"
