@@ -1658,6 +1658,200 @@ def _sql_s9() -> str:
     """
 
 
+def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the customer/supplier/part graph
+    (operators/graph.py::pagerank — one edge-rank join + one partial-
+    aggregating groupBy per iteration, rank vector checkpointed). Oracle:
+    the same three iterations unrolled as chained DuckDB CTEs; the
+    simplified dangling-mass semantics are identical on both sides."""
+    from importtoneo4j_spark.operators.graph import pagerank
+
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    ordered = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    supplies = (
+        t["lineitem"]
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("subj"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    pr = pagerank(ordered.unionByName(supplies), iters=3)
+    return pr.select("entity_id", F.round("rank", 6).alias("rank"))
+
+
+def _sql_g3(iters: int = 3, damping: float = 0.85) -> str:
+    prev = "r0"
+    iter_ctes = []
+    for k in range(1, iters + 1):
+        iter_ctes.append(
+            f"""r{k} AS (
+      SELECT nd.id,
+             {1 - damping}/(SELECT n FROM meta)
+             + {damping}*COALESCE(c.inflow, 0) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.rank/o.odeg) AS inflow
+        FROM e JOIN {prev} r ON e.src = r.id
+               JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst) c USING (id)
+    )"""
+        )
+        prev = f"r{k}"
+    chain = ", ".join(iter_ctes)
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                      'P' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR),
+                      'P' || CAST(l_partkey AS VARCHAR)
+      FROM lineitem
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), meta AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), outdeg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT id, 1.0/(SELECT n FROM meta) AS rank FROM nodes
+    ), {chain}
+    SELECT id AS entity_id, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+def g4_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the part co-purchase graph (parts sharing
+    an order). The Spark plan uses the degree-ordered orientation
+    (operators/graph.py::triangle_count — wedge fan-out bounded by the
+    arboricity, hub-safe at scale); the oracle counts by plain id
+    ordering. The total is orientation-invariant, so the gate hash-matches
+    while verifying the scale-shaped plan."""
+    from importtoneo4j_spark.operators.graph import triangle_count
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+    edges = (
+        a.join(b, "ok").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
+    )
+    return triangle_count(edges, src="x", dst="y")
+
+
+def _sql_g4() -> str:
+    return """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT count(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.y = e2.x
+              JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    """
+
+
+def t5_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 10-minute windows every 5
+    minutes, so each event lands in exactly two windows — the overlapping
+    twin of t4's tumbling window (streaming form: the same F.window
+    operator under a watermark). Oracle: each event's two candidate
+    window starts are time_bucket(5m, ts) and that minus 5m (UNION ALL),
+    which is exactly Spark's epoch-aligned window assignment."""
+    e = _load(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def _sql_t5() -> str:
+    return """
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS win_start,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 5 MINUTES, ts) - INTERVAL 5 MINUTES,
+             event_type, value
+      FROM events
+    )
+    SELECT win_start, event_type, count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM assigned GROUP BY 1, 2
+    """
+
+
+def u4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (df.unpivot / melt) then re-aggregation:
+    three lineitem measures become (measure, val) rows — the inverse of
+    p1's pivot. Oracle: the UNION ALL expansion DuckDB's UNPIVOT
+    desugars to."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"), F.round(F.sum("val"), 4).alias("total")
+    )
+
+
+def _sql_u4() -> str:
+    return """
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, measure, count(*) AS n, round(sum(val), 4) AS total
+    FROM long GROUP BY 1, 2
+    """
+
+
+def o4_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: Pearson correlation, sample
+    stddev and sample covariance — single-pass partial-aggregating
+    co-moment aggregates on both engines."""
+    e = _load(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.round(F.corr("value", "user_id"), 4).alias("corr_vu"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.covar_samp("value", "user_id"), 4).alias("cov_vu"),
+    )
+
+
+def _sql_o4() -> str:
+    return """
+    SELECT event_type,
+           round(corr(value, user_id), 4) AS corr_vu,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(covar_samp(value, user_id), 4) AS cov_vu
+    FROM events GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1683,13 +1877,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_degree": g1_degree,
         "j5_traversal_theta": j5_traversal_theta,
         "g2_two_hop": g2_two_hop,
+        "g3_pagerank": g3_pagerank,
+        "g4_triangles": g4_triangles,
         "s9_schema_catalog": s9_schema_catalog,
         "t3_asof_join": t3_asof_join,
         "t4_tumbling_window": t4_tumbling_window,
+        "t5_hopping_window": t5_hopping_window,
         "a3_label_union": a3_label_union,
         "a6_guarded_ratio": a6_guarded_ratio,
         "u2_anti_join_delta": u2_anti_join_delta,
         "u3_union_branches": u3_union_branches,
+        "u4_unpivot": u4_unpivot,
         "w1_stable_order_topk": w1_stable_order_topk,
         "w2_sessionize": w2_sessionize,
         "text_token_stats": text_token_stats,
@@ -1712,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_distinct_users": a1_distinct_users,
         "o2_percentiles": o2_percentiles,
         "o3_percentiles_approx": o3_percentiles_approx,
+        "o4_corr_stats": o4_corr_stats,
         "a7_cube_totals": a7_cube_totals,
         "p1_pivot_status_priority": p1_pivot_status_priority,
     }
@@ -1735,13 +1934,17 @@ def oracle_sql() -> dict[str, str]:
         "g1_degree": _sql_g1(),
         "j5_traversal_theta": _sql_j5(),
         "g2_two_hop": _sql_g2(),
+        "g3_pagerank": _sql_g3(),
+        "g4_triangles": _sql_g4(),
         "s9_schema_catalog": _sql_s9(),
         "t3_asof_join": _sql_t3(),
         "t4_tumbling_window": _sql_t4(),
+        "t5_hopping_window": _sql_t5(),
         "a3_label_union": _sql_a3(),
         "a6_guarded_ratio": _sql_a6(),
         "u2_anti_join_delta": _sql_u2(),
         "u3_union_branches": _sql_u3(),
+        "u4_unpivot": _sql_u4(),
         "w1_stable_order_topk": _sql_w1(),
         "w2_sessionize": _sql_w2(),
         "text_token_stats": _sql_text_tokens(),
@@ -1764,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "a1_distinct_users": _sql_a1(),
         "o2_percentiles": _sql_o2(),
         "o3_percentiles_approx": _sql_o3(),
+        "o4_corr_stats": _sql_o4(),
         "a7_cube_totals": _sql_a7(),
         "p1_pivot_status_priority": _sql_p1(),
     }

@@ -210,3 +210,138 @@ class GraphView:
             F.count("*").alias("degree"),
             F.countDistinct("pred").alias("n_pred_types"),
         )
+
+
+# ------------------------------------------------------- iterative analytics
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge set -> (entity_id,
+    rank). The whole-graph analytic the reference's per-node traversal API
+    (Neo4j.java:254-277) cannot express — importance scores for entity
+    ranking / dedup-canonical selection over the materialized KG.
+
+    Deterministic simplified variant: rank_0 = 1/N;
+    rank_{k+1}(v) = (1-d)/N + d * sum_{(u,v) in E} rank_k(u) / outdeg(u).
+    Dangling nodes keep only the teleport term (their mass is not
+    redistributed — documented, and mirrored exactly by the oracle SQL so
+    the gate stays hash-checkable). Fixed iteration count, no RNG.
+
+    Scale shape: each iteration is ONE join of the edge list with the
+    rank vector on src (shuffle on src, reusable layout) plus ONE
+    partial-aggregating groupBy(dst) — linear in |E|, no windows, no
+    driver-side state. The rank vector (|V| rows) is localCheckpoint-ed
+    per iteration (the canonicalize.py CC discipline), so the plan stays
+    flat at any iteration count. The 1-row N metadata broadcasts."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nmeta = nodes.agg(F.count("*").cast("double").alias("n"))
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("odeg"))
+    ranks = nodes.crossJoin(F.broadcast(nmeta)).select(
+        "id", "n", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    weighted = e.join(outdeg, "src")
+    for _ in range(iters):
+        inflow = (
+            weighted.join(
+                ranks.select(F.col("id").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("inflow"))
+        )
+        ranks = (
+            ranks.select("id", "n")
+            .join(inflow, "id", "left")
+            .select(
+                "id",
+                "n",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("id").alias("entity_id"), "rank")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Global triangle count of the UNDIRECTED graph induced by the edge
+    set -> one row (n_triangles). Community-density signal over the KG
+    (e.g. co-purchase cliques) — a whole-graph analytic outside the
+    reference's traversal API.
+
+    Scale shape — the orientation trick: every undirected edge is oriented
+    from its lower-DEGREE endpoint to the higher (ties by id), and wedges
+    are built only along that orientation. Each triangle is then counted
+    exactly once, and the wedge fan-out per vertex is bounded by its
+    oriented out-degree, which the orientation keeps at O(sqrt(|E|)) — the
+    classic arboricity bound that tames hub vertices. A plain x<y<z id
+    ordering (what the DuckDB oracle uses — the count is
+    orientation-invariant, so the gate still hash-matches) lets an
+    unlucky low-id hub emit degree^2 wedges. ``max_degree`` additionally
+    drops vertices above a degree cap before counting (the
+    drop_hot_buckets economics) for adversarially dense graphs; dropped
+    triangles are then undercounted — observability over surprise."""
+    # canonical undirected edge set (a < b), self-loops dropped
+    ab = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        ab.select(F.col("a").alias("v"))
+        .unionByName(ab.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    if max_degree is not None:
+        hot = deg.filter(F.col("deg") > max_degree).select("v")
+        ab = ab.join(hot.withColumnRenamed("v", "a"), "a", "left_anti").join(
+            hot.withColumnRenamed("v", "b"), "b", "left_anti"
+        )
+    # orient low-degree -> high-degree (ties by id): (u, w) with u "smaller"
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    oriented = (
+        ab.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    # wedges u -> (w1, w2) along the orientation, closed by a third edge
+    w1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
+    w2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = w1.join(w2, "u").filter(F.col("w1") < F.col("w2"))
+    # closing-edge membership is undirected: ab already stores a < b, which
+    # matches the wedge's w1 < w2 ordering
+    closing = ab.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    return (
+        wedges.join(closing, ["w1", "w2"])
+        .agg(F.count("*").alias("n_triangles"))
+    )

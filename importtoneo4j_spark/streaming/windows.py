@@ -41,6 +41,35 @@ def turn_rate_stream(
     )
 
 
+def turn_rate_stream_hopping(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping-window twin of turn_rate_stream: overlapping windows every
+    ``slide`` (each event lands in window/slide windows). Streaming form of
+    the t5_hopping_window batch gate — same F.window operator, same
+    epoch-aligned assignment, so the batch oracle check carries over.
+
+    Scale note: state size multiplies by window/slide versus tumbling
+    (every event belongs to that many open windows); the watermark bounds
+    how long each stays open."""
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, checkpoint: str):
     """Drive a streaming DataFrame to completion into an in-memory table."""
     q = (

@@ -559,3 +559,48 @@ def test_two_hop_partners_hub_cap(spark, graph):
     assert allp.count() == 101  # 10*10 hub pairs + (x, y)
     capped = g.two_hop_partners("p1", "p2", max_fanout=5)
     assert {(r["x"], r["y"]) for r in capped.collect()} == {("x", "y")}
+
+
+def test_pagerank_cycle_and_star(spark):
+    """Known closed forms: a directed 3-cycle is rank-uniform at every
+    iteration (1/3 each); in a star all-leaves->center the center
+    dominates and every leaf keeps only the teleport term."""
+    from importtoneo4j_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "subj string, obj string"
+    )
+    got = {r["entity_id"]: r["rank"] for r in pagerank(cycle, iters=4).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in got.values())
+
+    star = spark.createDataFrame(
+        [(f"leaf{i}", "hub") for i in range(4)], "subj string, obj string"
+    )
+    got = {r["entity_id"]: r["rank"] for r in pagerank(star, iters=2).collect()}
+    assert got["hub"] > max(v for k, v in got.items() if k != "hub")
+    assert abs(got["leaf0"] - 0.15 / 5) < 1e-12  # teleport only (dangling hub)
+    # rank mass is sub-stochastic: the dangling hub's mass is not
+    # redistributed (documented semantics, mirrored by the oracle)
+    assert sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; adding a pendant edge changes nothing; the
+    degree cap drops triangles through capped hubs (undercount is the
+    documented behavior)."""
+    from importtoneo4j_spark.operators.graph import triangle_count
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    edges = spark.createDataFrame(
+        k4 + [("d", "e")], "subj string, obj string"
+    )
+    assert triangle_count(edges).first()["n_triangles"] == 4
+    # direction / duplication invariance: reversed + duplicated edges
+    noisy = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4], "subj string, obj string"
+    )
+    assert triangle_count(noisy).first()["n_triangles"] == 4
+    # cap below K4's degree (3) removes every vertex -> 0
+    assert (
+        triangle_count(edges, max_degree=2).first()["n_triangles"] == 0
+    )

@@ -24,3 +24,29 @@ def test_turn_rate_stream_matches_batch(spark, small_transcripts_path, tmp_path_
     want = {(r["s"], r["role"]): r["n"] for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_hopping_stream_matches_batch(spark, small_transcripts_path, tmp_path_factory):
+    """Streaming hopping windows == the batch F.window(slide) aggregation,
+    and each turn lands in exactly window/slide windows."""
+    from importtoneo4j_spark.streaming.windows import turn_rate_stream_hopping
+
+    ckpt = str(tmp_path_factory.mktemp("swh") / "ckpt")
+    df = turn_rate_stream_hopping(
+        spark, small_transcripts_path, window="1 hour", slide="30 minutes"
+    )
+    run_to_memory(df, "turn_rates_hop", ckpt)
+    got = {
+        (r["win_start"], r["role"]): r["n_turns"]
+        for r in spark.sql("SELECT * FROM turn_rates_hop").collect()
+    }
+    batch = (
+        spark.read.parquet(small_transcripts_path)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "role")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("s"), "role", "n")
+    )
+    want = {(r["s"], r["role"]): r["n"] for r in batch.collect()}
+    assert got == want
+    n_turns = spark.read.parquet(small_transcripts_path).count()
+    assert sum(got.values()) == 2 * n_turns  # window/slide = 2 windows each
