@@ -1852,6 +1852,125 @@ def _sql_o4() -> str:
     """
 
 
+def t6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval containment join via the bin-equi-join plan
+    (operators/temporal.py::point_in_interval_join — a raw inequality
+    join would execute as a broadcast nested loop in Spark): events
+    falling inside each early user's 2-hour activity window. Oracle: the
+    plain inequality join DuckDB executes natively as a range join."""
+    from importtoneo4j_spark.operators.temporal import point_in_interval_join
+
+    e = _load(spark, sf_dir, "events")["events"]
+    intervals = (
+        e.filter(F.col("user_id") < 50)
+        .groupBy(F.col("user_id").alias("owner"))
+        .agg(
+            F.min("ts").alias("w_start"),
+            (F.min("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+    )
+    pts = e.select("ts", "value")
+    joined = point_in_interval_join(
+        pts, intervals, ts_col="ts", start_col="w_start", end_col="w_end"
+    )
+    return joined.groupBy("owner").agg(
+        F.count("*").alias("n_in"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+
+
+def _sql_t6() -> str:
+    return """
+    WITH iv AS (
+      SELECT user_id AS owner, min(ts) AS s,
+             min(ts) + INTERVAL 2 HOUR AS e
+      FROM events WHERE user_id < 50 GROUP BY user_id
+    )
+    SELECT owner, count(*) AS n_in, round(sum(value), 4) AS total
+    FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
+    GROUP BY 1
+    """
+
+
+def s10_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    md5-bucket thresholds — stable across runs, engines and corpus growth,
+    unlike rand(). md5 parity between Spark and DuckDB makes per-document
+    assignment (not just the split sizes) hash-checkable."""
+    from importtoneo4j_spark.operators.sampling import hash_split
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    split = hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def _sql_s10() -> str:
+    return """
+    WITH b AS (
+      SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 10000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs
+    FROM b GROUP BY 1
+    """
+
+
+def txt_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (functions/text.py::tf_idf —
+    two partial-aggregating groupBys + a broadcast 1-row corpus size).
+    Ranking uses the ROUNDED score then the term, so the order is
+    identical across engines despite last-ulp float differences."""
+    from importtoneo4j_spark.functions.text import tf_idf
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    scored = tf_idf(d).withColumn("tfidf_r", F.round("tfidf", 4))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_r").desc(), F.col("term").asc()
+    )
+    return (
+        scored.filter(F.col("doc_id") < 20)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", F.col("tfidf_r").alias("tfidf"), "rank")
+    )
+
+
+def _sql_txt_tfidf() -> str:
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rank
+          FROM scored WHERE doc_id < 20)
+    WHERE rank <= 3
+    """
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1883,6 +2002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_asof_join": t3_asof_join,
         "t4_tumbling_window": t4_tumbling_window,
         "t5_hopping_window": t5_hopping_window,
+        "t6_interval_join": t6_interval_join,
+        "s10_hash_split": s10_hash_split,
+        "txt_tfidf_top_terms": txt_tfidf_top_terms,
         "a3_label_union": a3_label_union,
         "a6_guarded_ratio": a6_guarded_ratio,
         "u2_anti_join_delta": u2_anti_join_delta,
@@ -1940,6 +2062,9 @@ def oracle_sql() -> dict[str, str]:
         "t3_asof_join": _sql_t3(),
         "t4_tumbling_window": _sql_t4(),
         "t5_hopping_window": _sql_t5(),
+        "t6_interval_join": _sql_t6(),
+        "s10_hash_split": _sql_s10(),
+        "txt_tfidf_top_terms": _sql_txt_tfidf(),
         "a3_label_union": _sql_a3(),
         "a6_guarded_ratio": _sql_a6(),
         "u2_anti_join_delta": _sql_u2(),

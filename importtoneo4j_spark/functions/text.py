@@ -188,3 +188,43 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
         F.lit(0.0)
     )
+
+
+def tf_idf(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-(doc, term) TF-IDF over a document table (round 4) — the
+    term-weighting primitive behind keyword extraction / relevance
+    filtering in a training-data pipeline. Smoothed IDF:
+    tf * ln((N + 1) / (df + 1)).
+
+    Scale shape: tokenize + explode (map-side), ONE groupBy(doc, term)
+    for tf, ONE groupBy(term) for df (both partial-aggregating), and the
+    1-row corpus size broadcast via crossJoin — no windows, no driver
+    collect, no UDF. Output cardinality = total distinct (doc, term)
+    pairs, i.e. bounded by the token count."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("tfidf"),
+        )
+    )

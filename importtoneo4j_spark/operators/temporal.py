@@ -117,3 +117,66 @@ def asof_join(
     elif how != "left":
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     return out
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    start <= ts < end (half-open) — the temporal containment join the
+    DataFrame API lacks (round 4; sibling of asof_join).
+
+    Spark-first formulation — an EQUI-join on time bins, never an
+    inequality-only join (which Catalyst can only execute as a broadcast
+    nested loop — quadratic and broadcast-bounded):
+
+        points  gain _bin = floor(epoch / bin_seconds)
+        intervals explode to every bin they cover (sequence + explode)
+        equi-join on _bin, then the exact start<=ts<end filter
+
+    Cost: one shuffle on _bin each side; an interval duplicates into
+    ceil(length / bin_seconds) + 1 rows, so choose bin_seconds near the
+    typical interval length (duplication factor ~2). Hot bins (many
+    overlapping intervals) are ordinary join skew — AQE's skew-join
+    split applies; there is no quadratic blowup unless many long
+    intervals genuinely overlap many points, which is the true output
+    size. ``how='left_semi'`` returns just the points that fall in any
+    interval (dedup-free)."""
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    p = points.withColumn(
+        "_bin", F.floor(epoch(ts_col) / F.lit(bin_seconds))
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(epoch(start_col) / F.lit(bin_seconds)),
+                # end is exclusive, but the cheap inclusive bound only adds
+                # at most one bin per interval; the exact filter below
+                # removes any false candidate it admits
+                F.floor(epoch(end_col) / F.lit(bin_seconds)),
+            )
+        ),
+    )
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    if how == "left_semi":
+        # points inside ANY interval, each point once: a true semi-join on
+        # (bin equality AND containment) — no pair materialization
+        iv_slim = iv.select(
+            F.col("_bin").alias("_ibin"),
+            F.col(start_col).alias("_istart"),
+            F.col(end_col).alias("_iend"),
+        )
+        semi_cond = (
+            (F.col("_bin") == F.col("_ibin"))
+            & (F.col(ts_col) >= F.col("_istart"))
+            & (F.col(ts_col) < F.col("_iend"))
+        )
+        return p.join(iv_slim, semi_cond, "left_semi").drop("_bin")
+    return p.join(iv, "_bin").filter(cond).drop("_bin")

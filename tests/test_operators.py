@@ -403,3 +403,84 @@ def test_group_percentiles_exact_vs_approx(spark):
     assert abs(rough["p50"] - 50.0) <= 10.0
     assert _col_name(0.999) == "p99_9"
     assert _col_name(0.95) == "p95"
+
+
+def test_point_in_interval_join_semantics(spark):
+    """Bin-equi-join containment == the naive inequality join: half-open
+    [start, end), intervals crossing bin boundaries, multi-interval
+    membership; left_semi returns each contained point once."""
+    import datetime as dt
+
+    from importtoneo4j_spark.operators.temporal import point_in_interval_join
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    pts = spark.createDataFrame(
+        [(i, at(m)) for i, m in enumerate([0, 59, 60, 61, 119, 120, 300])],
+        "pid int, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("a", at(0), at(120)), ("b", at(50), at(70))],
+        "owner string, s timestamp, e timestamp",
+    )
+    got = {
+        (r["pid"], r["owner"])
+        for r in point_in_interval_join(
+            pts, iv, ts_col="ts", start_col="s", end_col="e", bin_seconds=3600
+        ).collect()
+    }
+    # a: [0,120) -> minutes 0,59,60,61,119 (120 excluded); b: [50,70) -> 59,60,61
+    want = {(0, "a"), (1, "a"), (2, "a"), (3, "a"), (4, "a"),
+            (1, "b"), (2, "b"), (3, "b")}
+    assert got == want
+    semi = point_in_interval_join(
+        pts, iv, ts_col="ts", start_col="s", end_col="e",
+        bin_seconds=3600, how="left_semi",
+    )
+    assert sorted(r["pid"] for r in semi.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """Same ids -> same assignment across calls and corpus growth; salt
+    re-randomizes; proportions land near the weights."""
+    from importtoneo4j_spark.operators.sampling import deterministic_sample, hash_split
+
+    df = spark.range(2000).toDF("id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"] for r in hash_split(df, "id", w).collect()}
+    b = {r["id"]: r["split"] for r in hash_split(df.limit(500), "id", w).collect()}
+    assert all(a[i] == s for i, s in b.items())  # growth-stable
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    salted = {r["id"]: r["split"] for r in hash_split(df, "id", w, salt="x").collect()}
+    assert any(a[i] != salted[i] for i in a)  # salt namespaces experiments
+    samp = deterministic_sample(df, "id", 0.25)
+    n = samp.count()
+    assert abs(n / 2000 - 0.25) < 0.05
+    assert samp.intersect(deterministic_sample(df, "id", 0.25)).count() == n
+
+
+def test_tf_idf_hand_computed(spark):
+    """Tiny corpus hand-check: a term in every doc scores lower than a
+    rarer term with the same tf; tf multiplies."""
+    import math
+
+    from importtoneo4j_spark.functions.text import tf_idf
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"), (3, "apple durian")],
+        "doc_id int, text string",
+    )
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+           for r in tf_idf(docs).collect()}
+    idf_apple = math.log(4 / 4)  # (3+1)/(3+1) -> 0
+    idf_banana = math.log(4 / 2)
+    assert abs(got[(1, "apple")][2] - 2 * idf_apple) < 1e-12
+    assert abs(got[(1, "banana")][2] - 1 * idf_banana) < 1e-12
+    assert got[(1, "apple")][0] == 2 and got[(1, "apple")][1] == 3
