@@ -197,3 +197,38 @@ def test_pipeline_bucketed_triples_layout(spark, small_transcripts_path, tmp_pat
     j.count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The bin-equi-join formulation must never plan a broadcast nested
+    loop or cartesian product — the whole point of the binning
+    (operators/temporal.py::point_in_interval_join)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["t6_interval_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_all_equi_joins(spark):
+    """Every join in the oriented triangle count is an equi-join (wedge
+    build + closing-edge probe) — no nested loops at any scale."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["g4_triangles"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_split_is_map_side_only(spark):
+    """Split assignment adds no shuffle: the plan of hash_split over a
+    scan contains no Exchange (stable under growth BECAUSE it is
+    per-row)."""
+    from importtoneo4j_spark.operators.sampling import hash_split
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = hash_split(d, "doc_id", {"train": 0.9, "test": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
