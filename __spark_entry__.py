@@ -1971,6 +1971,90 @@ def _sql_txt_tfidf() -> str:
     """
 
 
+def w3_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-frame window: 7-row moving average over the daily revenue
+    series per returnflag (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW on a
+    unique date ordering, so the frame is deterministic). The daily
+    aggregate is rounded BEFORE the moving average so both engines
+    average identical inputs."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.to_date("l_shipdate").alias("d"),
+    ).agg(F.round(F.sum("l_extendedprice"), 4).alias("rev"))
+    w = (
+        Window.partitionBy("rf")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "rf", "d", "rev", F.round(F.avg("rev").over(w), 4).alias("mavg7")
+    )
+
+
+def _sql_w3() -> str:
+    return """
+    WITH daily AS (
+      SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS d,
+             round(sum(l_extendedprice), 4) AS rev
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT rf, d, rev,
+           round(avg(rev) OVER (PARTITION BY rf ORDER BY d
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS mavg7
+    FROM daily
+    """
+
+
+def c12_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the scalar the entity-linking family
+    verifies candidates with when token Jaccard is too coarse): nation
+    name pairs within levenshtein <= 4. Both engines implement the same
+    Wagner-Fischer distance."""
+    n = _load(spark, sf_dir, "nation")["nation"]
+    a = n.select(F.col("n_name").alias("n1"))
+    b = n.select(F.col("n_name").alias("n2"))
+    return (
+        a.join(b, F.col("n1") < F.col("n2"))
+        .withColumn("dist", F.levenshtein("n1", "n2"))
+        .filter(F.col("dist") <= 4)
+        .select("n1", "n2", "dist")
+    )
+
+
+def _sql_c12() -> str:
+    return """
+    SELECT a.n_name AS n1, b.n_name AS n2,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """
+
+
+def c13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JSON path extraction (get_json_object — the reference parses
+    its k=v INFO fields by hand, VariantDatabase.java:125-127; a modern
+    corpus carries JSON): numeric field stats per event_type."""
+    e = _load(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_parsed"),
+    )
+
+
+def _sql_c13() -> str:
+    return """
+    SELECT event_type,
+           CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           min(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+           count(*) FILTER (props->>'$.k' IS NOT NULL) AS n_parsed
+    FROM events GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2012,6 +2096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u4_unpivot": u4_unpivot,
         "w1_stable_order_topk": w1_stable_order_topk,
         "w2_sessionize": w2_sessionize,
+        "w3_moving_avg": w3_moving_avg,
+        "c12_edit_distance": c12_edit_distance,
+        "c13_json_extract": c13_json_extract,
         "text_token_stats": text_token_stats,
         "text_bpe_tokens": text_bpe_tokens,
         "text_quality_score": text_quality_score,
@@ -2072,6 +2159,9 @@ def oracle_sql() -> dict[str, str]:
         "u4_unpivot": _sql_u4(),
         "w1_stable_order_topk": _sql_w1(),
         "w2_sessionize": _sql_w2(),
+        "w3_moving_avg": _sql_w3(),
+        "c12_edit_distance": _sql_c12(),
+        "c13_json_extract": _sql_c13(),
         "text_token_stats": _sql_text_tokens(),
         "text_bpe_tokens": _sql_text_bpe(),
         "text_quality_score": _sql_text_quality(),
