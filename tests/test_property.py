@@ -103,3 +103,123 @@ def test_every_mention_one_canonical(spark, gen, small_transcripts_path, tmp_pat
         .filter(F.col("n") > 1)
     )
     assert multi.count() == 0
+
+
+interval_cases = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=interval_cases)
+def test_interval_join_matches_naive(spark, case):
+    """The bin-equi-join containment join == the naive quadratic
+    definition on arbitrary point/interval sets (half-open [s, e),
+    intervals spanning 0..N bins, empty intervals)."""
+    import datetime as dt
+
+    from importtoneo4j_spark.operators.temporal import point_in_interval_join
+
+    minutes, ivs = case
+    t0 = dt.datetime(2025, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=m)) for i, m in enumerate(minutes)],
+        "pid int, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (j, t0 + dt.timedelta(minutes=s), t0 + dt.timedelta(minutes=s + ln))
+            for j, (s, ln) in enumerate(ivs)
+        ],
+        "iid int, s timestamp, e timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            pts, iv, ts_col="ts", start_col="s", end_col="e", bin_seconds=3600
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, m in enumerate(minutes)
+        for j, (s, ln) in enumerate(ivs)
+        if s <= m < s + ln
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-oriented triangle counting == itertools brute force on
+    arbitrary graphs (duplicates, both directions, self-loops)."""
+    from itertools import combinations
+
+    from importtoneo4j_spark.operators.graph import triangle_count
+
+    rows = [(f"n{a:02d}", f"n{b:02d}") for a, b in edges]
+    df = spark.createDataFrame(rows, "subj string, obj string")
+    got = triangle_count(df).first()["n_triangles"]
+    und = {frozenset((a, b)) for a, b in rows if a != b}
+    verts = sorted({v for e in und for v in e})
+    want = sum(
+        1
+        for t in combinations(verts, 3)
+        if all(frozenset(p) in und for p in combinations(t, 2))
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_pagerank_invariants(spark, edges):
+    """Every rank >= the teleport floor (1-d)/N; total mass <= 1 (equality
+    iff no dangling nodes); ranks match a sequential reference
+    implementation."""
+    from importtoneo4j_spark.operators.graph import pagerank
+
+    rows = [(f"n{a:02d}", f"n{b:02d}") for a, b in edges if a != b]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "subj string, obj string")
+    got = {r["entity_id"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    nodes = sorted({v for e in rows for v in e})
+    n = len(nodes)
+    # sequential reference
+    from collections import Counter, defaultdict
+
+    out = Counter(a for a, _ in rows)
+    inc = defaultdict(list)
+    for a, b in rows:
+        inc[b].append(a)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        ranks = {
+            v: 0.15 / n + 0.85 * sum(ranks[u] / out[u] for u in inc[v])
+            for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9
+        assert got[v] >= 0.15 / n - 1e-12
+    assert sum(got.values()) <= 1.0 + 1e-9
