@@ -410,3 +410,78 @@ def sample_frame_features(media: DataFrame, every_ms: int = 250) -> DataFrame:
             yield pd.DataFrame(out)
 
     return vids.mapInPandas(run, schema=FRAME_FEATURE_DDL)
+
+
+RESIZE_DDL = (
+    "media_id long, kind string, mime string, payload binary, "
+    "width int, height int, resize_status string"
+)
+
+
+def _resize_pix(pix: np.ndarray, max_side: int) -> np.ndarray:
+    """Nearest-neighbour downsample so max(H, W) <= max_side (no-op if
+    already small enough). Pure index arithmetic — deterministic, no
+    interpolation library needed."""
+    h, w = pix.shape[:2]
+    if max(h, w) <= max_side:
+        return pix
+    scale = max(h, w) / max_side
+    th = max(1, int(h / scale))
+    tw = max(1, int(w / scale))
+    ri = (np.arange(th) * h) // th
+    ci = (np.arange(tw) * w) // tw
+    return pix[ri][:, ci]
+
+
+def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Thumbnail/resize stage for image payloads (the brief's multimodal
+    resize step, now a REAL executable transform for the BMP codec):
+    decode -> nearest-neighbour downsample to max_side -> re-encode.
+
+    Same Arrow economics as extract_media_features: the payload crosses to
+    Python once per media inside a mapInPandas batch; non-image rows pass
+    through untouched (resize_status='skipped'), undecodable images are
+    quarantined by status, never crash the task. Output payloads are
+    valid BMPs, so the stage composes with extract_media_features
+    downstream (round-trip asserted in tests)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads: list = []
+            widths: list = []
+            heights: list = []
+            status: list[str] = []
+            for kind, mime, payload in zip(pdf["kind"], pdf["mime"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if kind != "image" or not (mime or "").endswith("bmp"):
+                    payloads.append(b)
+                    widths.append(None)
+                    heights.append(None)
+                    status.append("skipped")
+                    continue
+                try:
+                    pix = _resize_pix(decode_bmp(b), max_side)
+                    payloads.append(encode_bmp(pix))
+                    heights.append(pix.shape[0])
+                    widths.append(pix.shape[1])
+                    status.append("ok")
+                except Exception as exc:
+                    payloads.append(b)
+                    widths.append(None)
+                    heights.append(None)
+                    status.append(f"decode_error:{type(exc).__name__}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "mime": pdf["mime"],
+                    "payload": payloads,
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "height": pd.Series(heights, dtype="Int32"),
+                    "resize_status": status,
+                }
+            )
+
+    return media.select("media_id", "kind", "mime", "payload").mapInPandas(
+        run, schema=RESIZE_DDL
+    )

@@ -604,3 +604,52 @@ def test_triangle_count_known_graphs(spark):
     assert (
         triangle_count(edges, max_degree=2).first()["n_triangles"] == 0
     )
+
+
+def test_resize_images_real_roundtrip(spark):
+    """resize_images produces VALID smaller BMPs (the brief's multimodal
+    resize step): dims bounded by max_side with aspect preserved, output
+    decodable, non-image rows passed through, corrupt images quarantined;
+    composes with extract_media_features downstream."""
+    import numpy as np
+
+    from importtoneo4j_spark.operators.multimodal import (
+        decode_bmp,
+        extract_media_features,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    out = resize_images(media, max_side=8).cache()
+    rows = {r["media_id"]: r for r in out.collect()}
+    imgs = [r for r in rows.values() if r["resize_status"] == "ok"]
+    assert imgs, "synthetic media contains bmp images"
+    for r in imgs:
+        pix = decode_bmp(bytes(r["payload"]))
+        assert pix.shape[0] == r["height"] and pix.shape[1] == r["width"]
+        assert max(pix.shape[:2]) <= 8
+    skipped = [r for r in rows.values() if r["resize_status"] == "skipped"]
+    assert all(r["kind"] != "image" for r in skipped)
+    # composes downstream: features extract from resized payloads
+    feats = extract_media_features(out.drop("width", "height", "resize_status"))
+    ok = feats.filter(
+        (F.col("kind") == "image") & (F.col("decode_status") == "ok")
+    )
+    assert ok.count() == len(imgs)
+    # corrupt image payload -> quarantined, not crashed
+    bad = spark.createDataFrame(
+        [(99, "image", "image/bmp", bytearray(b"not a bmp"))],
+        "media_id long, kind string, mime string, payload binary",
+    )
+    br = resize_images(bad, max_side=8).first()
+    assert br["resize_status"].startswith("decode_error")
+    out.unpersist()
+    # pure-numpy resize math: aspect and determinism
+    from importtoneo4j_spark.operators.multimodal import _resize_pix
+
+    pix = np.arange(20 * 10 * 3, dtype=np.uint8).reshape(20, 10, 3)
+    small = _resize_pix(pix, 8)
+    assert small.shape == (8, 4, 3)
+    assert (_resize_pix(pix, 8) == small).all()
+    assert (_resize_pix(small, 8) == small).all()  # idempotent when small
