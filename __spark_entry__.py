@@ -1852,6 +1852,64 @@ def _sql_o4() -> str:
     """
 
 
+def g5_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest hop distance (3 hops) from two supplier
+    nodes over the undirected customer/supplier/part graph
+    (operators/graph.py::bfs_distances — level-synchronous frontier
+    expansion, checkpointed per hop). Oracle: the bounded recursive CTE
+    formulation; min(dist) over the walk == BFS distance."""
+    from importtoneo4j_spark.operators.graph import bfs_distances
+
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    ordered = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    supplies = (
+        t["lineitem"]
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("subj"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    fwd = ordered.unionByName(supplies)
+    und = fwd.unionByName(
+        fwd.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    )
+    srcs = spark.createDataFrame([("S1",), ("S2",)], "id string")
+    out = bfs_distances(und, srcs, max_hops=3)
+    return out.select("id", F.col("dist").cast("int").alias("dist"))
+
+
+def _sql_g5() -> str:
+    return """
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                      'P' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR),
+                      'P' || CAST(l_partkey AS VARCHAR)
+      FROM lineitem
+    ), e AS (
+      SELECT src, dst FROM base UNION SELECT dst, src FROM base
+    ), walk(id, dist) AS (
+      SELECT id, 0 FROM (VALUES ('S1'), ('S2')) s(id)
+      UNION
+      SELECT e.dst, walk.dist + 1
+      FROM walk JOIN e ON e.src = walk.id
+      WHERE walk.dist < 3
+    )
+    SELECT id, CAST(min(dist) AS INTEGER) AS dist FROM walk GROUP BY id
+    """
+
+
 def t6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval containment join via the bin-equi-join plan
     (operators/temporal.py::point_in_interval_join — a raw inequality
@@ -2086,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_asof_join": t3_asof_join,
         "t4_tumbling_window": t4_tumbling_window,
         "t5_hopping_window": t5_hopping_window,
+        "g5_bfs_distances": g5_bfs_distances,
         "t6_interval_join": t6_interval_join,
         "s10_hash_split": s10_hash_split,
         "txt_tfidf_top_terms": txt_tfidf_top_terms,
@@ -2149,6 +2208,7 @@ def oracle_sql() -> dict[str, str]:
         "t3_asof_join": _sql_t3(),
         "t4_tumbling_window": _sql_t4(),
         "t5_hopping_window": _sql_t5(),
+        "g5_bfs_distances": _sql_g5(),
         "t6_interval_join": _sql_t6(),
         "s10_hash_split": _sql_s10(),
         "txt_tfidf_top_terms": _sql_txt_tfidf(),

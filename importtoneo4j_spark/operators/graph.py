@@ -274,6 +274,47 @@ def pagerank(
     return ranks.select(F.col("id").alias("entity_id"), "rank")
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Multi-source BFS: (id, dist) = minimum hop count from any source
+    node, up to max_hops -> the bounded reachability / shortest-hop
+    primitive (the reference's findNeighbourNodes iterated, Neo4j.java:
+    254-277, made whole-graph and distributed).
+
+    Level-synchronous frontier expansion: each hop joins the CURRENT
+    frontier (nodes first reached last hop — strictly smaller than the
+    visited set) against the edge list, anti-joins the already-visited
+    set, then min-aggregates new arrivals. Work per hop is
+    O(frontier-adjacent edges), the visited set carries (id, dist) only,
+    and both are localCheckpoint-ed per hop (flat plans, the CC
+    discipline). Equivalent to the bounded recursive CTE the DuckDB
+    oracle runs."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    visited = sources.select(F.col(sources.columns[0]).alias("id")).distinct().select(
+        "id", F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .select("id", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        if reached.isEmpty():
+            break
+        visited = visited.unionByName(reached).localCheckpoint()
+        frontier = reached
+    return visited
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "subj",

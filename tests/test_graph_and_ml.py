@@ -653,3 +653,22 @@ def test_resize_images_real_roundtrip(spark):
     assert small.shape == (8, 4, 3)
     assert (_resize_pix(pix, 8) == small).all()
     assert (_resize_pix(small, 8) == small).all()  # idempotent when small
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Path graph + disconnected node + multi-source minimum."""
+    from importtoneo4j_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "subj string, obj string",
+    )
+    one = spark.createDataFrame([("a",)], "id string")
+    got = {r["id"]: r["dist"] for r in bfs_distances(edges, one, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # d beyond max_hops; x,y unreachable
+    multi = spark.createDataFrame([("a",), ("c",)], "id string")
+    got2 = {r["id"]: r["dist"] for r in bfs_distances(edges, multi, max_hops=2).collect()}
+    assert got2 == {"a": 0, "c": 0, "b": 1, "d": 1}  # min over sources
+    # early exit on an exhausted frontier (max_hops larger than the graph)
+    got3 = {r["id"]: r["dist"] for r in bfs_distances(edges, one, max_hops=10).collect()}
+    assert got3 == {"a": 0, "b": 1, "c": 2, "d": 3}
