@@ -32,6 +32,10 @@ from importtoneo4j_spark.session import get_spark
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="importtoneo4j_spark")
     ap.add_argument("--input", help="transcripts parquet dir or table name")
+    ap.add_argument("--input-format", default=None,
+                    choices=["parquet", "json", "csv", "table"],
+                    help="transcripts wire format (default: infer — table "
+                    "name without '/', else parquet)")
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--run-id", default="run-001")
     ap.add_argument("--mode", choices=["overwrite", "append"], default="overwrite")
@@ -69,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         mode=args.mode,
         fail_fast=not args.no_fail_fast,
         fold_threshold=args.fold_threshold,
+        input_format=args.input_format,
     )
     if args.fold_epochs:
         metrics = pipe.fold_epochs(args.fold_epochs)

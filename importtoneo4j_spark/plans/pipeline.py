@@ -67,6 +67,9 @@ class KGPipeline:
     # this bucket count (catalog table; co-located self/edge joins run
     # shuffle-free — SCALE.md bucket(N, subj) layout). 0 (default) keeps
     # the pred-partitioned parquet-dir layout.
+    input_format: str | None = None  # transcripts wire format: None infers
+    # (catalog table vs parquet path); 'json' (JSON-lines) and 'csv' go
+    # through the same schema enforcement + quarantine (sources/transcripts)
     fold_threshold: int | None = None  # append mode: when more than this
     # many EXISTING surfaces would move to a different canonical entity
     # under this run's full fixpoint (cross-snapshot merge evidence that
@@ -119,7 +122,7 @@ class KGPipeline:
         corpus — 2x input I/O at 100 TB). The table lands partitioned by
         validity, so downstream valid reads partition-prune and the
         quarantine stays queryable (warn-and-skip F3, never dropped)."""
-        raw = read_transcripts(self.spark, self.input_path)
+        raw = read_transcripts(self.spark, self.input_path, fmt=self.input_format)
         tagged = with_stable_order_tagged(tag_rejects(raw), flag_dups=self.fail_fast)
         # repartition on conv_id: downstream extraction and ordering windows
         # shuffle once here and reuse the layout

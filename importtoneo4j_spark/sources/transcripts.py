@@ -21,13 +21,32 @@ from importtoneo4j_spark.functions.text import nullify_sentinels
 from importtoneo4j_spark.schemas import TRANSCRIPTS
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """Read transcripts (Iceberg table name or parquet path) with the
-    authoritative schema enforced."""
-    if "/" not in path:  # catalog table name
+def read_transcripts(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Read transcripts with the authoritative schema enforced.
+
+    ``fmt``: 'parquet' (default for paths), 'json' (JSON-lines), 'csv'
+    (with header), or 'table' (catalog name — the default when ``path``
+    has no '/'). Every format goes through the same schema enforcement
+    and the same downstream quarantine (tag_rejects), so a malformed
+    JSONL/CSV row becomes a typed NULL -> reject_reason, never a crash —
+    the reference's warn-and-skip discipline regardless of wire format
+    (VariantDatabase.java:189-192)."""
+    if fmt is None:
+        fmt = "table" if "/" not in path else "parquet"
+    if fmt == "table":
         df = spark.read.table(path)
-    else:
+    elif fmt == "parquet":
         df = spark.read.schema(TRANSCRIPTS).parquet(path)
+    elif fmt == "json":
+        df = spark.read.schema(TRANSCRIPTS).json(path)
+    elif fmt == "csv":
+        df = (
+            spark.read.schema(TRANSCRIPTS)
+            .option("header", "true")
+            .csv(path)
+        )
+    else:
+        raise ValueError(f"unknown transcripts format: {fmt}")
     return df.select(
         F.col("conv_id").cast("string"),
         F.col("turn_idx").cast("int"),

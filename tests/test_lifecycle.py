@@ -501,3 +501,42 @@ def test_append_accumulates_node_attributes(spark, tmp_path_factory):
     total_fresh = p_fresh.nodes().agg(F.sum("n_mentions")).first()[0]
     total_append = p2.nodes().agg(F.sum("n_mentions")).first()[0]
     assert total_append == total_fresh
+
+
+def test_json_and_csv_sources_match_parquet(spark, tmp_path_factory):
+    """The same corpus via JSONL and CSV wire formats produces the
+    IDENTICAL graph checksum as parquet, and malformed rows quarantine
+    instead of crashing (schema-enforced reads, warn-and-skip F3)."""
+    import json as jsonlib
+
+    gen = TranscriptGenerator(seed=23, n_entities=40)
+    pq = str(tmp_path_factory.mktemp("fmt") / "pq")
+    gen.write_parquet(pq, n_convs=15)
+    rows = spark.read.parquet(pq).collect()
+
+    jdir = tmp_path_factory.mktemp("fmt") / "jsonl"
+    jdir.mkdir(exist_ok=True)
+    with open(jdir / "part-0.jsonl", "w") as fh:
+        for r in rows:
+            d = r.asDict()
+            d["ts"] = d["ts"].isoformat() if d["ts"] else None
+            fh.write(jsonlib.dumps(d) + "\n")
+        fh.write('{"conv_id": "bad-row", "turn_idx": "not_an_int"}\n')
+
+    cdir = tmp_path_factory.mktemp("fmt") / "csv"
+    spark.read.parquet(pq).coalesce(1).write.option("header", "true").csv(
+        str(cdir), mode="overwrite"
+    )
+
+    checks = {}
+    for name, path, fmt in [
+        ("parquet", pq, None),
+        ("json", str(jdir), "json"),
+        ("csv", str(cdir), "csv"),
+    ]:
+        work = str(tmp_path_factory.mktemp("fmt") / f"kg_{name}")
+        pipe = KGPipeline(spark, path, work, run_id="r1", input_format=fmt)
+        m = pipe.run()
+        checks[name] = m["materialize"]["checksum"]
+    assert checks["json"] == checks["parquet"]
+    assert checks["csv"] == checks["parquet"]
