@@ -209,3 +209,52 @@ def test_empty_input_yields_zero_triples(spark, tmp_path_factory):
     assert m["materialize"]["triples"] == 0
     assert m["materialize"]["checksum"] == "0:None"
     assert pipe.rejects().count() == 0
+
+
+def test_export_neo4j_admin_csv(run, tmp_path_factory):
+    """The neo4j-admin bulk-import export: header files carry the exact
+    tool convention, data parts are header-less and positionally aligned,
+    counts match the graph, labels round-trip through the ';' array
+    delimiter, and the manifest carries a runnable import command."""
+    from importtoneo4j_spark.operators.export import (
+        NODE_HEADER,
+        REL_HEADER,
+        export_neo4j_admin,
+    )
+
+    pipe, _ = run
+    spark = pipe.spark
+    out = str(tmp_path_factory.mktemp("n4j") / "export")
+    manifest = export_neo4j_admin(pipe.nodes(), pipe.triples(), out)
+
+    with open(manifest["nodes_header"]) as fh:
+        assert fh.read().strip() == NODE_HEADER
+    with open(manifest["relationships_header"]) as fh:
+        assert fh.read().strip() == REL_HEADER
+
+    # same quoting convention as the writer (and neo4j-admin): '"' quotes,
+    # doubled-quote escape — JSON properties contain commas
+    rd_opts = {"header": "false", "quote": '"', "escape": '"'}
+    nd = spark.read.options(**rd_opts).csv(manifest["nodes_dir"])
+    rd = spark.read.options(**rd_opts).csv(manifest["relationships_dir"])
+    assert nd.count() == pipe.nodes().count()
+    assert rd.count() == pipe.triples().count()
+    assert len(nd.columns) == len(NODE_HEADER.split(","))
+    assert len(rd.columns) == len(REL_HEADER.split(","))
+    # labels round-trip through the ';' delimiter (position 3 = :LABEL)
+    want = {
+        r["entity_id"]: sorted(r["labels"])
+        for r in pipe.nodes().select("entity_id", "labels").collect()
+    }
+    got = {
+        r["_c0"]: (r["_c2"].split(";") if r["_c2"] else [])
+        for r in nd.select("_c0", "_c2").collect()
+    }
+    assert got == want
+    # rel types are UPPER_SNAKE and START/END ids reference exported nodes
+    types = {r["_c2"] for r in rd.select("_c2").collect()}
+    assert all(t == t.upper() for t in types)
+    ids = set(got)
+    endpoints = rd.select("_c0", "_c1").collect()
+    assert all(r["_c0"] in ids and r["_c1"] in ids for r in endpoints)
+    assert "neo4j-admin database import full" in manifest["import_command"]
