@@ -249,7 +249,13 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(nmeta)).select(
         "id", "n", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    weighted = e.join(outdeg, "src")
+    # materialized once: every iteration scans the degree-weighted edge
+    # list, and without the persist each pass re-derives it from the raw
+    # source (3 iterations = 3 full input re-scans at 100 TB). Profile
+    # knob: local_checkpoint on a single box, DISK_ONLY on a cluster.
+    from importtoneo4j_spark.session import stage_persist
+
+    weighted = stage_persist(e.join(outdeg, "src"))
     for _ in range(iters):
         inflow = (
             weighted.join(
@@ -294,7 +300,13 @@ def bfs_distances(
     and both are localCheckpoint-ed per hop (flat plans, the CC
     discipline). Equivalent to the bounded recursive CTE the DuckDB
     oracle runs."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    from importtoneo4j_spark.session import stage_persist
+
+    # every hop joins the frontier against the deduped edge list; persist
+    # it once instead of re-deriving from the source per hop
+    e = stage_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
     visited = sources.select(F.col(sources.columns[0]).alias("id")).distinct().select(
         "id", F.lit(0).alias("dist")
     ).localCheckpoint()
