@@ -1685,7 +1685,12 @@ def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pr = pagerank(ordered.unionByName(supplies), iters=3)
-    return pr.select("entity_id", F.round("rank", 6).alias("rank"))
+    # per-mille rank with the driver-proven round(x, 4) convention (every
+    # float gate uses it): raw ranks sit at ~1e-4, where round(_, 6) keeps
+    # too few digits and deviates from the established pattern
+    return pr.select(
+        "entity_id", F.round(F.col("rank") * 1000, 4).alias("rank_pm")
+    )
 
 
 def _sql_g3(iters: int = 3, damping: float = 0.85) -> str:
@@ -1724,7 +1729,7 @@ def _sql_g3(iters: int = 3, damping: float = 0.85) -> str:
     ), r0 AS (
       SELECT id, 1.0/(SELECT n FROM meta) AS rank FROM nodes
     ), {chain}
-    SELECT id AS entity_id, round(rank, 6) AS rank FROM {prev}
+    SELECT id AS entity_id, round(rank * 1000, 4) AS rank_pm FROM {prev}
     """
 
 
