@@ -1915,6 +1915,80 @@ def _sql_g5() -> str:
     """
 
 
+def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of deterministic synchronous label propagation over the
+    undirected customer/supplier/part graph (operators/graph.py::
+    label_propagation — min-struct argmax per node, never a window over
+    neighbour lists). Oracle: the same two rounds unrolled as CTEs with a
+    row_number argmax (count desc, label asc)."""
+    from importtoneo4j_spark.operators.graph import label_propagation
+
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    ordered = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    supplies = (
+        t["lineitem"]
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("subj"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    return label_propagation(ordered.unionByName(supplies), iters=2)
+
+
+def _sql_g6(iters: int = 2) -> str:
+    prev = "l0"
+    chain = []
+    for k in range(1, iters + 1):
+        chain.append(
+            f"""c{k} AS (
+      SELECT und.u AS id, l.community, count(*) AS cnt
+      FROM und JOIN {prev} l ON und.v = l.id
+      GROUP BY 1, 2
+    ), b{k} AS (
+      SELECT id, community FROM (
+        SELECT id, community,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cnt DESC, community) AS rn
+        FROM c{k})
+      WHERE rn = 1
+    ), l{k} AS (
+      SELECT {prev}.id, COALESCE(b{k}.community, {prev}.community) AS community
+      FROM {prev} LEFT JOIN b{k} USING (id)
+    )"""
+        )
+        prev = f"l{k}"
+    ctes = ", ".join(chain)
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                      'P' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR),
+                      'P' || CAST(l_partkey AS VARCHAR)
+      FROM lineitem
+    ), und AS (
+      SELECT u, v FROM (
+        SELECT src AS u, dst AS v FROM base
+        UNION
+        SELECT dst, src FROM base)
+      WHERE u <> v
+    ), l0 AS (
+      SELECT DISTINCT u AS id, u AS community FROM und
+    ), {ctes}
+    SELECT id AS entity_id, community FROM {prev}
+    """
+
+
 def t6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval containment join via the bin-equi-join plan
     (operators/temporal.py::point_in_interval_join — a raw inequality
@@ -2150,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_tumbling_window": t4_tumbling_window,
         "t5_hopping_window": t5_hopping_window,
         "g5_bfs_distances": g5_bfs_distances,
+        "g6_label_propagation": g6_label_propagation,
         "t6_interval_join": t6_interval_join,
         "s10_hash_split": s10_hash_split,
         "txt_tfidf_top_terms": txt_tfidf_top_terms,
@@ -2214,6 +2289,7 @@ def oracle_sql() -> dict[str, str]:
         "t4_tumbling_window": _sql_t4(),
         "t5_hopping_window": _sql_t5(),
         "g5_bfs_distances": _sql_g5(),
+        "g6_label_propagation": _sql_g6(),
         "t6_interval_join": _sql_t6(),
         "s10_hash_split": _sql_s10(),
         "txt_tfidf_top_terms": _sql_txt_tfidf(),

@@ -327,6 +327,73 @@ def bfs_distances(
     return visited
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Synchronous label-propagation community detection -> (entity_id,
+    community). Deterministic variant: labels start as the node id; each
+    round every node adopts the most frequent label among its neighbours
+    (undirected), ties to the smallest label; isolated or label-tied
+    nodes keep theirs. Fixed iteration count, no RNG — the classic LPA
+    randomized tie-break would be irreproducible AND un-oracle-checkable.
+
+    Completes the graph-analytics family next to CC (exact components),
+    PageRank (importance), triangles (density) and BFS (distance):
+    communities are coarser than components on dense graphs and converge
+    in a couple of rounds.
+
+    Scale shape per round: one edge-label equi-join + TWO
+    partial-aggregating groupBys ((node, label) counts, then a min-struct
+    argmax per node — never a window over the neighbour lists); the label
+    vector is localCheckpoint-ed per round (flat plans, the CC
+    discipline)."""
+    from importtoneo4j_spark.session import stage_persist
+
+    und = stage_persist(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("u").alias("id")).distinct().select(
+            "id", F.col("id").alias("community")
+        )
+    ).localCheckpoint()
+    for _ in range(iters):
+        counts = (
+            und.join(labels.select(F.col("id").alias("v"), "community"), "v")
+            .groupBy(F.col("u").alias("id"), "community")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            counts.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("community").alias("lbl"),
+                    )
+                ).alias("b")
+            )
+            .select("id", F.col("b.lbl").alias("nbr_community"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("nbr_community", "community").alias("community"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(F.col("id").alias("entity_id"), "community")
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "subj",

@@ -70,6 +70,34 @@ def turn_rate_stream_hopping(
     )
 
 
+def session_window_stream(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows over the transcript stream (F.session_window
+    — state merges adjacent windows per key; the watermark closes a
+    session once no event can extend it). Batch twin: the SAME expression
+    on a static frame (parity-tested), whose session count per key equals
+    the lag-based w2 sessionization with a >= gap threshold — the native
+    operator closes a session when the quiet period REACHES the gap
+    (window is [start, last_ts + gap)), while a lag formulation with '>'
+    would merge an event landing exactly at the boundary."""
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("sess_start"),
+            F.col("win.end").alias("sess_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, checkpoint: str):
     """Drive a streaming DataFrame to completion into an in-memory table."""
     q = (

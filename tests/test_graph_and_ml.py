@@ -672,3 +672,34 @@ def test_bfs_distances_hand_graph(spark):
     # early exit on an exhausted frontier (max_hops larger than the graph)
     got3 = {r["id"]: r["dist"] for r in bfs_distances(edges, one, max_hops=10).collect()}
     assert got3 == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_label_propagation_hand_traced(spark):
+    """Deterministic synchronous LPA: a 4-clique converges to the minimum
+    member label within two rounds; the bridged two-triangle graph matches
+    the hand-traced two-round state exactly."""
+    from importtoneo4j_spark.operators.graph import label_propagation
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got = {
+        r["entity_id"]: r["community"]
+        for r in label_propagation(
+            spark.createDataFrame(clique, "subj string, obj string"), iters=2
+        ).collect()
+    }
+    assert got == {v: "a" for v in "abcd"}
+
+    bridged = [
+        ("a", "b"), ("b", "c"), ("a", "c"),  # triangle 1
+        ("x", "y"), ("y", "z"), ("x", "z"),  # triangle 2
+        ("c", "x"),  # bridge
+    ]
+    got2 = {
+        r["entity_id"]: r["community"]
+        for r in label_propagation(
+            spark.createDataFrame(bridged, "subj string, obj string"), iters=2
+        ).collect()
+    }
+    # hand-traced synchronous rounds (most-frequent neighbour label, ties
+    # to the smallest): r1 = {a:b, b:a, c:a, x:c, y:x, z:x}
+    assert got2 == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "c", "z": "c"}

@@ -50,3 +50,51 @@ def test_hopping_stream_matches_batch(spark, small_transcripts_path, tmp_path_fa
     assert got == want
     n_turns = spark.read.parquet(small_transcripts_path).count()
     assert sum(got.values()) == 2 * n_turns  # window/slide = 2 windows each
+
+
+def test_session_window_stream_matches_batch_and_lag(
+    spark, small_transcripts_path, tmp_path_factory
+):
+    """Streaming native session windows == the same expression as batch;
+    batch session counts per conversation == lag-based sessionization with
+    the >= gap threshold (the native operator's boundary semantics)."""
+    from importtoneo4j_spark.streaming.windows import session_window_stream
+
+    ckpt = str(tmp_path_factory.mktemp("sws") / "ckpt")
+    df = session_window_stream(spark, small_transcripts_path, gap="30 minutes")
+    run_to_memory(df, "sess_win", ckpt)
+    got = {
+        (r["conv_id"], r["sess_start"], r["sess_end"]): r["n_turns"]
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+
+    base = spark.read.parquet(small_transcripts_path)
+    batch = (
+        base.groupBy(F.session_window("ts", "30 minutes").alias("win"), "conv_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("s"), F.col("win.end").alias("e"),
+            "conv_id", "n",
+        )
+    )
+    want = {(r["conv_id"], r["s"], r["e"]): r["n"] for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy(F.col("ts").asc(), F.col("turn_idx").asc())
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> LTZ first
+    gap = epoch - F.lag(epoch).over(w)
+    lag_counts = (
+        base.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0)
+        )
+        .groupBy("conv_id")
+        .agg(F.sum("new_sess").alias("n_sessions"))
+    )
+    lag_want = {r["conv_id"]: r["n_sessions"] for r in lag_counts.collect()}
+    from collections import Counter
+
+    native_counts = Counter(k[0] for k in got)
+    assert dict(native_counts) == lag_want
