@@ -1311,6 +1311,62 @@ def _sql_emb_near_dups() -> str:
     """
 
 
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine quantization round-trip quality (operators/similarity.py
+    ::quantize_embeddings — 4x embedding storage reduction at 100 TB):
+    per-vector max reconstruction error and cosine(original, dequantized).
+    The codes are purely elementwise expressions (no sums), so both
+    engines produce identical ints."""
+    from importtoneo4j_spark.operators.similarity import (
+        cosine,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    e = _load(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 20)
+    deq = dequantize_embeddings(quantize_embeddings(e)).withColumnRenamed(
+        "embedding", "demb"
+    )
+    j = e.join(deq, "vec_id")
+    max_err = F.array_max(
+        F.zip_with("embedding", "demb", lambda a, b: F.abs(a.cast("double") - b))
+    )
+    return j.select(
+        "vec_id",
+        F.round(max_err, 4).alias("max_err"),
+        F.round(cosine(F.col("embedding"), F.col("demb")), 4).alias("cos_q"),
+    )
+
+
+def _sql_emb_quantize() -> str:
+    cos_dd = _sql_cosine("embedding", "d")
+    return f"""
+    WITH src AS (
+      SELECT vec_id, embedding,
+             list_aggregate(embedding, 'min')::DOUBLE AS vmin,
+             list_aggregate(embedding, 'max')::DOUBLE AS vmax
+      FROM embeddings WHERE vec_id < 20
+    ), qz AS (
+      SELECT vec_id, embedding, vmin, vmax,
+             [CASE WHEN vmax > vmin
+                   THEN CAST(round((x::DOUBLE - vmin)/(vmax - vmin)*255, 0) AS INTEGER)
+                   ELSE 0 END
+              for x in embedding] AS q
+      FROM src
+    ), dq AS (
+      SELECT vec_id, embedding,
+             [vmin + qi::DOUBLE * (vmax - vmin) / 255 for qi in q] AS d
+      FROM qz
+    )
+    SELECT vec_id,
+           round(list_aggregate(
+             [abs(d[i] - embedding[i]::DOUBLE)
+              for i in generate_series(1, len(d))], 'max'), 4) AS max_err,
+           round({cos_dd}, 4) AS cos_q
+    FROM dq
+    """
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups, fully oracle-checked: all 128 md5 bits feed the
     per-bit majority votes (md5 hex is identical in Spark and DuckDB), the
@@ -2253,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "emb_near_dups": emb_near_dups,
+        "emb_quantize": emb_quantize,
         "text_lang_guess": text_lang_guess,
         "c1_kv_parse": c1_kv_parse,
         "a1_distinct_users": a1_distinct_users,
@@ -2318,6 +2375,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _sql_ann_topk(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "emb_near_dups": _sql_emb_near_dups(),
+        "emb_quantize": _sql_emb_quantize(),
         "text_lang_guess": _sql_text_lang_guess(),
         "c1_kv_parse": _sql_c1(),
         "a1_distinct_users": _sql_a1(),

@@ -703,3 +703,31 @@ def test_label_propagation_hand_traced(spark):
     # hand-traced synchronous rounds (most-frequent neighbour label, ties
     # to the smallest): r1 = {a:b, b:a, c:a, x:c, y:x, z:x}
     assert got2 == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "c", "z": "c"}
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """Reconstruction error bounded by (vmax - vmin)/(2*255) per element;
+    a constant vector survives exactly; codes are ints in [0, 255]."""
+    from importtoneo4j_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.0, 1.0, 0.5, -1.0, 0.31415]),
+        (2, [3.0, 3.0, 3.0]),  # constant vector: rng == 0
+        (3, [-5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert all(0 <= c <= 255 for r in q.values() for c in r["q"])
+    assert q[2]["q"] == [0, 0, 0] and q[2]["vmin"] == 3.0
+    deq = {
+        r["vec_id"]: r["embedding"]
+        for r in dequantize_embeddings(quantize_embeddings(df)).collect()
+    }
+    for vid, orig in rows:
+        rng = max(orig) - min(orig)
+        bound = rng / (2 * 255) + 1e-12
+        assert all(abs(a - b) <= bound for a, b in zip(orig, deq[vid]))
+    assert deq[2] == [3.0, 3.0, 3.0]  # constant vector exact
