@@ -2248,6 +2248,105 @@ def _sql_c13() -> str:
     """
 
 
+def u5_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators proper (completing §2.7 beyond union/anti-join):
+    customers appearing in BOTH high-value and recent order branches
+    (INTERSECT) and high-value-only customers (EXCEPT), tagged and
+    unioned."""
+    o = _load(spark, sf_dir, "orders")["orders"]
+    high = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    recent = o.filter(F.col("o_orderdate") >= "2024-01-01").select("o_custkey")
+    both = high.intersect(recent).withColumn("tag", F.lit("both"))
+    only_high = high.exceptAll(recent).distinct().withColumn(
+        "tag", F.lit("high_only")
+    )
+    return (
+        both.unionByName(only_high)
+        .groupBy("tag")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _sql_u5() -> str:
+    return """
+    WITH high AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+    recent AS (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2024-01-01'),
+    both_t AS (SELECT o_custkey, 'both' AS tag
+               FROM (SELECT o_custkey FROM high
+                     INTERSECT SELECT o_custkey FROM recent)),
+    only_t AS (SELECT DISTINCT o_custkey, 'high_only' AS tag
+               FROM (SELECT o_custkey FROM high
+                     EXCEPT ALL SELECT o_custkey FROM recent))
+    SELECT tag, count(*) AS n_customers
+    FROM (SELECT * FROM both_t UNION ALL SELECT * FROM only_t)
+    GROUP BY 1
+    """
+
+
+def c14_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regexp extraction (regexp_extract_all — the fan-out
+    scalar the extraction UDF vectorizes; here the native JVM form):
+    all digit runs per props string, aggregated per event_type."""
+    e = _load(spark, sf_dir, "events")["events"]
+    nums = F.expr(r"regexp_extract_all(props, '(\\d+)', 1)")
+    return e.select("event_type", nums.alias("nums")).groupBy("event_type").agg(
+        F.sum(F.size("nums")).cast("bigint").alias("n_matches"),
+        F.sum(
+            F.aggregate(
+                F.transform("nums", lambda s: s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        ).cast("bigint").alias("sum_nums"),
+    )
+
+
+def _sql_c14() -> str:
+    return r"""
+    SELECT event_type,
+           CAST(sum(len(nums)) AS BIGINT) AS n_matches,
+           CAST(sum(list_sum([n::BIGINT for n in nums])) AS BIGINT) AS sum_nums
+    FROM (SELECT event_type, regexp_extract_all(props, '(\d+)', 1) AS nums
+          FROM events)
+    GROUP BY 1
+    """
+
+
+def c15_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (filter / exists / transform) over the
+    embedding vectors: per-vector count of positive components, whether
+    any component exceeds 2, and the clipped-positive sum."""
+    e = _load(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 50)
+    vec = F.col("embedding")
+    pos = F.filter(vec, lambda x: x > 0)
+    return e.select(
+        "vec_id",
+        F.size(pos).alias("n_pos"),
+        F.exists(vec, lambda x: x > 2).alias("has_gt2"),
+        F.round(
+            F.aggregate(
+                F.transform(pos, lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            4,
+        ).alias("pos_sum"),
+    )
+
+
+def _sql_c15() -> str:
+    return """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           CAST(len(list_filter(embedding, x -> x > 2)) > 0 AS BOOLEAN) AS has_gt2,
+           round(coalesce(list_sum([x::DOUBLE
+                  for x in list_filter(embedding, x -> x > 0)]), 0.0), 4)
+             AS pos_sum
+    FROM embeddings WHERE vec_id < 50
+    """
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2289,6 +2388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_anti_join_delta": u2_anti_join_delta,
         "u3_union_branches": u3_union_branches,
         "u4_unpivot": u4_unpivot,
+        "u5_intersect_except": u5_intersect_except,
+        "c14_regexp_extract_all": c14_regexp_extract_all,
+        "c15_array_hof": c15_array_hof,
         "w1_stable_order_topk": w1_stable_order_topk,
         "w2_sessionize": w2_sessionize,
         "w3_moving_avg": w3_moving_avg,
@@ -2355,6 +2457,9 @@ def oracle_sql() -> dict[str, str]:
         "u2_anti_join_delta": _sql_u2(),
         "u3_union_branches": _sql_u3(),
         "u4_unpivot": _sql_u4(),
+        "u5_intersect_except": _sql_u5(),
+        "c14_regexp_extract_all": _sql_c14(),
+        "c15_array_hof": _sql_c15(),
         "w1_stable_order_topk": _sql_w1(),
         "w2_sessionize": _sql_w2(),
         "w3_moving_avg": _sql_w3(),
