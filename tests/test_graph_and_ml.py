@@ -731,3 +731,19 @@ def test_quantize_embeddings_roundtrip_bound(spark):
         bound = rng / (2 * 255) + 1e-12
         assert all(abs(a - b) <= bound for a, b in zip(orig, deq[vid]))
     assert deq[2] == [3.0, 3.0, 3.0]  # constant vector exact
+
+
+def test_ivf_topk_quantized_recall(spark, emb):
+    """The int8-code search path loses little recall vs full precision:
+    >= 80% overlap of the returned neighbour sets on the testdata."""
+    from importtoneo4j_spark.operators.similarity import ivf_topk_quantized
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    full = ivf_topk(emb, q, k=3, n_centroids=16, nprobe=8)
+    quant = ivf_topk_quantized(emb, q, k=3, n_centroids=16, nprobe=8)
+    fs = {(r["qid"], r["vec_id"]) for r in full.collect()}
+    qs = {(r["qid"], r["vec_id"]) for r in quant.collect()}
+    assert len(fs & qs) >= int(0.8 * len(fs))
+    assert len(qs) == len(fs)
