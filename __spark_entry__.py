@@ -2241,9 +2241,10 @@ def c13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_c13() -> str:
     return """
     SELECT event_type,
-           CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-           min(CAST(props->>'$.k' AS INTEGER)) AS min_k,
-           count(*) FILTER (props->>'$.k' IS NOT NULL) AS n_parsed
+           CAST(sum(TRY_CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           min(TRY_CAST(props->>'$.k' AS INTEGER)) AS min_k,
+           count(*) FILTER (TRY_CAST(props->>'$.k' AS INTEGER) IS NOT NULL)
+             AS n_parsed
     FROM events GROUP BY 1
     """
 
@@ -2257,9 +2258,11 @@ def u5_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
     recent = o.filter(F.col("o_orderdate") >= "2024-01-01").select("o_custkey")
     both = high.intersect(recent).withColumn("tag", F.lit("both"))
-    only_high = high.exceptAll(recent).distinct().withColumn(
-        "tag", F.lit("high_only")
-    )
+    # plain EXCEPT (set semantics): a customer present in both branches is
+    # never tagged high_only, regardless of per-branch multiplicities —
+    # exceptAll().distinct() leaked customers with more high-value than
+    # recent orders into both tags (ADVICE r4)
+    only_high = high.subtract(recent).withColumn("tag", F.lit("high_only"))
     return (
         both.unionByName(only_high)
         .groupBy("tag")
@@ -2275,9 +2278,9 @@ def _sql_u5() -> str:
     both_t AS (SELECT o_custkey, 'both' AS tag
                FROM (SELECT o_custkey FROM high
                      INTERSECT SELECT o_custkey FROM recent)),
-    only_t AS (SELECT DISTINCT o_custkey, 'high_only' AS tag
+    only_t AS (SELECT o_custkey, 'high_only' AS tag
                FROM (SELECT o_custkey FROM high
-                     EXCEPT ALL SELECT o_custkey FROM recent))
+                     EXCEPT SELECT o_custkey FROM recent))
     SELECT tag, count(*) AS n_customers
     FROM (SELECT * FROM both_t UNION ALL SELECT * FROM only_t)
     GROUP BY 1
@@ -2355,7 +2358,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate (round 5): the driver harness samples gates in
+    # dict order with a cap (r4 recorded exactly the FIRST 50 of 64), so the
+    # keys least recently driver-verified come first — the three that have
+    # never had a driver row, then the eleven whose last green row is r3,
+    # then everything re-verified in r4.
     return {
+        "emb_quantize": emb_quantize,
+        "o3_percentiles_approx": o3_percentiles_approx,
+        "o4_corr_stats": o4_corr_stats,
+        "dedup_simhash": dedup_simhash,
+        "text_repetition": text_repetition,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "emb_near_dups": emb_near_dups,
+        "text_lang_guess": text_lang_guess,
+        "c1_kv_parse": c1_kv_parse,
+        "a1_distinct_users": a1_distinct_users,
+        "o2_percentiles": o2_percentiles,
+        "a7_cube_totals": a7_cube_totals,
+        "p1_pivot_status_priority": p1_pivot_status_priority,
         "kg_flagship": kg_flagship,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_unshipped_revenue": q3_unshipped_revenue,
@@ -2406,20 +2428,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "contamination_check": contamination_check,
         "contamination_exact": contamination_exact,
-        "dedup_simhash": dedup_simhash,
-        "text_repetition": text_repetition,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "emb_near_dups": emb_near_dups,
-        "emb_quantize": emb_quantize,
-        "text_lang_guess": text_lang_guess,
-        "c1_kv_parse": c1_kv_parse,
-        "a1_distinct_users": a1_distinct_users,
-        "o2_percentiles": o2_percentiles,
-        "o3_percentiles_approx": o3_percentiles_approx,
-        "o4_corr_stats": o4_corr_stats,
-        "a7_cube_totals": a7_cube_totals,
-        "p1_pivot_status_priority": p1_pivot_status_priority,
     }
 
 

@@ -253,31 +253,44 @@ def pagerank(
     # list, and without the persist each pass re-derives it from the raw
     # source (3 iterations = 3 full input re-scans at 100 TB). Profile
     # knob: local_checkpoint on a single box, DISK_ONLY on a cluster.
-    from importtoneo4j_spark.session import stage_persist
+    from importtoneo4j_spark.session import stage_persist, stage_unpersist
 
     weighted = stage_persist(e.join(outdeg, "src"))
-    for _ in range(iters):
-        inflow = (
-            weighted.join(
-                ranks.select(F.col("id").alias("src"), "rank"), "src"
+    seed = ranks  # lazy, derived from the CALLER's edges frame — never
+    # stage_unpersist it (the plan walk would release a caller-owned
+    # checkpoint backing `edges`)
+    try:
+        for _ in range(iters):
+            inflow = (
+                weighted.join(
+                    ranks.select(F.col("id").alias("src"), "rank"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") / F.col("odeg")).alias("inflow"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("inflow"))
-        )
-        ranks = (
-            ranks.select("id", "n")
-            .join(inflow, "id", "left")
-            .select(
-                "id",
-                "n",
-                (
-                    F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
+            prev = ranks
+            ranks = (
+                ranks.select("id", "n")
+                .join(inflow, "id", "left")
+                .select(
+                    "id",
+                    "n",
+                    (
+                        F.lit(1.0 - damping) / F.col("n")
+                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-    return ranks.select(F.col("id").alias("entity_id"), "rank")
+            # the new checkpoint replaces the prior rank vector; iteration
+            # 1's prev is the lazy seed frame, which must stay untouched
+            if prev is not seed:
+                stage_unpersist(prev)
+        return ranks.select(F.col("id").alias("entity_id"), "rank")
+    finally:
+        # release the persisted edge table; the returned frame reads only
+        # the final rank checkpoint (VERDICT r4 wrong #2)
+        stage_unpersist(weighted)
 
 
 def bfs_distances(
@@ -286,6 +299,7 @@ def bfs_distances(
     max_hops: int = 3,
     src: str = "subj",
     dst: str = "obj",
+    id_col: str = "id",
 ) -> DataFrame:
     """Multi-source BFS: (id, dist) = minimum hop count from any source
     node, up to max_hops -> the bounded reachability / shortest-hop
@@ -300,31 +314,50 @@ def bfs_distances(
     and both are localCheckpoint-ed per hop (flat plans, the CC
     discipline). Equivalent to the bounded recursive CTE the DuckDB
     oracle runs."""
-    from importtoneo4j_spark.session import stage_persist
+    from importtoneo4j_spark.session import stage_persist, stage_unpersist
 
+    if id_col not in sources.columns:
+        raise ValueError(
+            f"sources is missing id column {id_col!r} (columns: {sources.columns});"
+            " pass id_col= to name the node-id column"
+        )
     # every hop joins the frontier against the deduped edge list; persist
-    # it once instead of re-deriving from the source per hop
+    # it once instead of re-deriving from the source per hop (released in
+    # the finally below — VERDICT r4 wrong #2: a long-lived session must
+    # not accumulate pinned edge tables across analytics calls)
     e = stage_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
-    visited = sources.select(F.col(sources.columns[0]).alias("id")).distinct().select(
-        "id", F.lit(0).alias("dist")
-    ).localCheckpoint()
-    frontier = visited
-    for hop in range(1, max_hops + 1):
-        reached = (
-            e.join(frontier.select(F.col("id").alias("src")), "src")
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited.select("id"), "id", "left_anti")
-            .select("id", F.lit(hop).alias("dist"))
-            .localCheckpoint()
-        )
-        if reached.isEmpty():
-            break
-        visited = visited.unionByName(reached).localCheckpoint()
-        frontier = reached
-    return visited
+    try:
+        visited = sources.select(F.col(id_col).alias("id")).distinct().select(
+            "id", F.lit(0).alias("dist")
+        ).localCheckpoint()
+        frontier = visited
+        for hop in range(1, max_hops + 1):
+            reached = (
+                e.join(frontier.select(F.col("id").alias("src")), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .select("id", F.lit(hop).alias("dist"))
+                .localCheckpoint()
+            )
+            if reached.isEmpty():
+                stage_unpersist(reached)
+                break
+            prev_visited, prev_frontier = visited, frontier
+            visited = visited.unionByName(reached).localCheckpoint()
+            frontier = reached
+            # the new visited checkpoint fully contains the old one, and
+            # the old frontier fed its last join — release both
+            stage_unpersist(prev_visited)
+            if prev_frontier is not prev_visited:
+                stage_unpersist(prev_frontier)
+        if frontier is not visited:
+            stage_unpersist(frontier)
+        return visited
+    finally:
+        stage_unpersist(e)
 
 
 def label_propagation(
@@ -350,7 +383,7 @@ def label_propagation(
     argmax per node — never a window over the neighbour lists); the label
     vector is localCheckpoint-ed per round (flat plans, the CC
     discipline)."""
-    from importtoneo4j_spark.session import stage_persist
+    from importtoneo4j_spark.session import stage_persist, stage_unpersist
 
     und = stage_persist(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -360,38 +393,44 @@ def label_propagation(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    labels = (
-        und.select(F.col("u").alias("id")).distinct().select(
-            "id", F.col("id").alias("community")
-        )
-    ).localCheckpoint()
-    for _ in range(iters):
-        counts = (
-            und.join(labels.select(F.col("id").alias("v"), "community"), "v")
-            .groupBy(F.col("u").alias("id"), "community")
-            .agg(F.count("*").alias("cnt"))
-        )
-        best = (
-            counts.groupBy("id")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("neg_cnt"),
-                        F.col("community").alias("lbl"),
-                    )
-                ).alias("b")
-            )
-            .select("id", F.col("b.lbl").alias("nbr_community"))
-        )
+    try:
         labels = (
-            labels.join(best, "id", "left")
-            .select(
-                "id",
-                F.coalesce("nbr_community", "community").alias("community"),
+            und.select(F.col("u").alias("id")).distinct().select(
+                "id", F.col("id").alias("community")
             )
-            .localCheckpoint()
-        )
-    return labels.select(F.col("id").alias("entity_id"), "community")
+        ).localCheckpoint()
+        for _ in range(iters):
+            counts = (
+                und.join(labels.select(F.col("id").alias("v"), "community"), "v")
+                .groupBy(F.col("u").alias("id"), "community")
+                .agg(F.count("*").alias("cnt"))
+            )
+            best = (
+                counts.groupBy("id")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("cnt")).alias("neg_cnt"),
+                            F.col("community").alias("lbl"),
+                        )
+                    ).alias("b")
+                )
+                .select("id", F.col("b.lbl").alias("nbr_community"))
+            )
+            prev = labels
+            labels = (
+                labels.join(best, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("nbr_community", "community").alias("community"),
+                )
+                .localCheckpoint()
+            )
+            # each round's checkpoint supersedes the last (VERDICT r4 #2)
+            stage_unpersist(prev)
+        return labels.select(F.col("id").alias("entity_id"), "community")
+    finally:
+        stage_unpersist(und)
 
 
 def triangle_count(

@@ -308,11 +308,18 @@ def embedding_dropped_buckets(
     refine_iters: int = 0,
     max_bucket: int | None = None,
     hot_factor: float = 8.0,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Observability twin of embedding_near_dups' cap: which IVF buckets
     were excluded from the pair search (bucket ids only — join the
-    assignment if members are needed)."""
-    _, assigned = assign_buckets(embeddings, n_centroids, id_col, vec_col, refine_iters)
+    assignment if members are needed). Pass the SAME ``nprobe`` the
+    near-dup run used: multi-probe assignment inflates bucket membership,
+    so the capped set differs from the single-probe one (ADVICE r4)."""
+    cents, assigned = assign_buckets(
+        embeddings, n_centroids, id_col, vec_col, refine_iters
+    )
+    if nprobe > 1:
+        assigned = multiprobe_assign(embeddings, cents, nprobe, id_col, vec_col)
     return _hot_buckets(assigned, n_centroids, max_bucket, hot_factor)
 
 
@@ -366,6 +373,54 @@ def dequantize_embeddings(
     return quantized.select(id_col, deq.alias("embedding"))
 
 
+def _deq_expr(q: Column, vmin: Column, vmax: Column, levels: int) -> Column:
+    """Inline dequantization expression: codes -> array<double>, evaluated
+    WHERE IT IS USED (inside a projection/score), never materialized into a
+    column that crosses a shuffle."""
+    return F.transform(
+        q, lambda c: vmin + c.cast("double") * (vmax - vmin) / levels
+    )
+
+
+def quantized_assign(
+    codes: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> DataFrame:
+    """IVF assignment over a QUANTIZED corpus: (id, q, vmin, vmax) x
+    broadcast centroids -> (id, bucket, q, vmin, vmax).
+
+    The min-struct argmax carries the int8 codes + two doubles through the
+    groupBy shuffle — the whole point of the quantized path (VERDICT r4
+    wrong #1: the previous version dequantized FIRST and shuffled
+    array<double>, a 2x-worse payload than the float32 input). The cosine
+    against each centroid dequantizes inline inside the scoring
+    expression, which lives in the map-side partial aggregate."""
+    deq = _deq_expr(F.col("q"), F.col("vmin"), F.col("vmax"), levels)
+    scored = codes.crossJoin(F.broadcast(cents))
+    best = F.min(
+        F.struct(
+            (-cosine(deq, F.col("ce"))).alias("neg_sim"),
+            F.col("centroid_id").alias("cid"),
+            F.col("q").alias("q"),
+            F.col("vmin").alias("vmin"),
+            F.col("vmax").alias("vmax"),
+        )
+    ).alias("_b")
+    return (
+        scored.groupBy(id_col)
+        .agg(best)
+        .select(
+            id_col,
+            F.col("_b.cid").alias("bucket"),
+            F.col("_b.q").alias("q"),
+            F.col("_b.vmin").alias("vmin"),
+            F.col("_b.vmax").alias("vmax"),
+        )
+    )
+
+
 def ivf_topk_quantized(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -379,15 +434,32 @@ def ivf_topk_quantized(
     """Memory-lean ANN: the corpus side flows through int8 codes (a 4x
     smaller shuffle/cache footprint than float32 — at 100 TB the
     difference between the assignment table fitting executor storage or
-    not), dequantized on the fly inside the scoring expressions; queries
-    stay full precision. Recall vs the full-precision ivf_topk is bounded
-    by the per-element quantization error (range/510) and measured in
-    tests/test_graph_and_ml.py."""
+    not); queries stay full precision. Every corpus-side shuffle — the
+    assignment groupBy and the probe join — carries (q:array<int>, vmin,
+    vmax), never a dequantized array<double>; dequantization happens
+    inline inside the scoring expressions (plan-asserted in
+    tests/test_graph_and_ml.py: no Exchange in the physical plan outputs
+    an array<double>). Recall vs the full-precision ivf_topk is bounded
+    by the per-element quantization error (range/510), also test-measured.
+    """
     codes = quantize_embeddings(embeddings, id_col, vec_col, levels)
-    deq = dequantize_embeddings(codes, id_col, levels).withColumnRenamed(
-        "embedding", vec_col
+    # centroid table: n_centroids rows, full precision (broadcast-tiny)
+    cents = codes.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        _deq_expr(F.col("q"), F.col("vmin"), F.col("vmax"), levels).alias("ce"),
     )
-    return ivf_topk(
-        deq, queries, k=k, n_centroids=n_centroids, nprobe=nprobe,
-        id_col=id_col, vec_col=vec_col,
+    assigned = quantized_assign(codes, cents, id_col, levels)
+    qc = queries.crossJoin(F.broadcast(cents))
+    wq = Window.partitionBy("qid").orderBy(
+        cosine(F.col("qe"), F.col("ce")).desc(), F.col("centroid_id").asc()
     )
+    probes = (
+        qc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .select("qid", "qe", F.col("centroid_id").alias("bucket"))
+    )
+    cand = probes.join(assigned, "bucket").filter(F.col(id_col) != F.col("qid"))
+    deq = _deq_expr(F.col("q"), F.col("vmin"), F.col("vmax"), levels)
+    sims = cand.select("qid", id_col, cosine(F.col("qe"), deq).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -148,6 +148,8 @@ def point_in_interval_join(
     intervals genuinely overlap many points, which is the true output
     size. ``how='left_semi'`` returns just the points that fall in any
     interval (dedup-free)."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"how must be 'inner' or 'left_semi', got {how!r}")
     epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
     p = points.withColumn(
         "_bin", F.floor(epoch(ts_col) / F.lit(bin_seconds))

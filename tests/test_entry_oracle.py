@@ -83,8 +83,10 @@ def test_keys_aligned():
     # every oracle has a query; queries without an oracle (non-SQL-expressible
     # ops like xxhash64 simhash) get the driver's rows-only check
     assert set(entry_mod.oracle_sql().keys()) <= set(entry_mod.queries().keys())
+    # every gate has an oracle — an accidental deregistration must fail loudly
+    # instead of silently downgrading to the driver's rows-only check
     rows_only = set(entry_mod.queries().keys()) - set(entry_mod.oracle_sql().keys())
-    assert rows_only <= {"dedup_simhash"}
+    assert rows_only == set()
 
 
 def test_rows_only_queries_run(spark):

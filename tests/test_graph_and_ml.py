@@ -252,6 +252,17 @@ def test_embedding_degenerate_bucket_capped(spark):
     # explicit cap works too, and a healthy corpus is untouched
     healthy = spark.read.parquet(f"{SF}/embeddings.parquet")
     assert embedding_dropped_buckets(healthy, n_centroids=16).count() == 0
+    # ADVICE r4: the twin observes the SAME assignment the cap ran on —
+    # under nprobe=2 the identical vectors land in their TWO nearest
+    # buckets (centroids 0 and 1), so two buckets exceed the cap, not one
+    assert (
+        embedding_dropped_buckets(df, n_centroids=16, max_bucket=500).count() == 1
+    )
+    assert (
+        embedding_dropped_buckets(
+            df, n_centroids=16, max_bucket=500, nprobe=2
+        ).count() == 2
+    )
 
 
 def test_embedding_multiprobe_boundary_recall(spark):
@@ -705,6 +716,64 @@ def test_label_propagation_hand_traced(spark):
     assert got2 == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "c", "z": "c"}
 
 
+def test_iterative_analytics_release_persisted_state(spark):
+    """VERDICT r4 wrong #2: repeated pagerank/BFS/LPA calls in one session
+    must not accumulate pinned blocks. Contract: every intermediate (the
+    persisted edge table, per-iteration checkpoints) is released before
+    return; the ONLY residual is the single checkpoint backing the
+    returned frame, and stage_unpersist(result) releases that too."""
+    from importtoneo4j_spark.operators.graph import (
+        bfs_distances,
+        label_propagation,
+        pagerank,
+    )
+    from importtoneo4j_spark.session import stage_unpersist
+
+    sc = spark.sparkContext
+
+    def n_blocks():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 50}") for i in range(200)],
+        "subj string, obj string",
+    )
+    srcs = spark.createDataFrame([("n0",)], "id string")
+    for op in (
+        lambda: pagerank(edges, iters=3),
+        lambda: bfs_distances(edges, srcs, max_hops=3),
+        lambda: label_propagation(edges, iters=2),
+    ):
+        for _ in range(2):
+            # re-measure per call: the async ContextCleaner may reclaim
+            # UNRELATED stale blocks at any point, so counts can only be
+            # compared one-sided against a just-taken baseline
+            before = n_blocks()
+            res = op()
+            res.count()
+            assert n_blocks() <= before + 1  # result's own checkpoint only
+            stage_unpersist(res)
+            assert n_blocks() <= before
+
+
+def test_bfs_distances_id_col_validated(spark):
+    """ADVICE r4: a sources frame without the id column raises instead of
+    silently using whatever column happens to be first."""
+    from importtoneo4j_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([("a", "b")], "subj string, obj string")
+    bad = spark.createDataFrame([(1, "a")], "weight int, node string")
+    with pytest.raises(ValueError, match="id column"):
+        bfs_distances(edges, bad, max_hops=1)
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(
+            edges, bad.select("weight", F.col("node").alias("id")), max_hops=1
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 1}
+
+
 def test_quantize_embeddings_roundtrip_bound(spark):
     """Reconstruction error bounded by (vmax - vmin)/(2*255) per element;
     a constant vector survives exactly; codes are ints in [0, 255]."""
@@ -747,3 +816,54 @@ def test_ivf_topk_quantized_recall(spark, emb):
     qs = {(r["qid"], r["vec_id"]) for r in quant.collect()}
     assert len(fs & qs) >= int(0.8 * len(fs))
     assert len(qs) == len(fs)
+
+
+def _shuffle_outputs(df):
+    """(node, [(attr, type), ...]) for every shuffle exchange in the
+    EXECUTED physical plan (run the query first so AQE has finalized)."""
+
+    def walk(jnode):
+        yield jnode
+        name = jnode.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            yield from walk(jnode.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):  # AQE wraps exchanges; no children()
+            yield from walk(jnode.plan())
+            return
+        ch = jnode.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    out = []
+    for node in walk(df._jdf.queryExecution().executedPlan()):
+        if node.getClass().getSimpleName() == "ShuffleExchangeExec":
+            attrs = node.output()
+            out.append(
+                [
+                    (attrs.apply(i).name(), attrs.apply(i).dataType().simpleString())
+                    for i in range(attrs.size())
+                ]
+            )
+    return out
+
+
+def test_ivf_topk_quantized_shuffles_int8_codes(spark, emb):
+    """VERDICT r4 wrong #1: the quantized path must actually SHUFFLE the
+    int8 codes. Every shuffle exchange in the executed plan carries
+    array<int> codes or scalars — never a dequantized array<double>
+    (dequantization is inline in the scoring projections; the only
+    full-precision vectors crossing the wire ride the n_centroids-row
+    broadcasts, which are exempt by construction)."""
+    from importtoneo4j_spark.operators.similarity import ivf_topk_quantized
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = ivf_topk_quantized(emb, q, k=3, n_centroids=16, nprobe=8)
+    out.collect()
+    shuffles = _shuffle_outputs(out)
+    assert shuffles, "expected at least one shuffle exchange"
+    flat = [t for attrs in shuffles for _, t in attrs]
+    assert not any("array<double>" in t for t in flat), shuffles
+    assert any("array<int>" in t for t in flat), shuffles

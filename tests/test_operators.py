@@ -441,6 +441,12 @@ def test_point_in_interval_join_semantics(spark):
         bin_seconds=3600, how="left_semi",
     )
     assert sorted(r["pid"] for r in semi.collect()) == [0, 1, 2, 3, 4]
+    # ADVICE r4: an unrecognized how (e.g. 'left', or a typo) must raise,
+    # not silently run as an inner join
+    with pytest.raises(ValueError, match="how"):
+        point_in_interval_join(
+            pts, iv, ts_col="ts", start_col="s", end_col="e", how="left"
+        )
 
 
 def test_hash_split_deterministic_and_stable(spark):
