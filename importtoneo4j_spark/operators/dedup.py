@@ -31,11 +31,31 @@ def _tokens(text_col: Column) -> Column:
     return F.split(F.trim(text_col), r"\s+")
 
 
-def token_ngrams(text_col: Column, n: int = 5) -> Column:
-    toks = _tokens(text_col)
+def ngrams_from_tokens(toks: Column, n: int = 5) -> Column:
     idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def token_ngrams(text_col: Column, n: int = 5) -> Column:
+    return ngrams_from_tokens(_tokens(text_col), n)
+
+
+def _token_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, toks) with short documents dropped, materialized once.
+
+    The shingle-family operators persist the TOKEN arrays, not the n-gram
+    arrays (round 5): an n-gram array repeats every token n times, so
+    checkpointing it serializes ~n x the bytes — measured 60% of
+    minhash_near_dups' wall at sf0.1. N-grams are recomputed inline where
+    needed: streamed map-side into the signature aggregation (consumed
+    once — persisting buys nothing), and projected per candidate pair in
+    verification (thousands of rows, not the corpus)."""
+    return stage_persist(
+        df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
+            F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("toks")
+        )
     )
 
 
@@ -71,12 +91,10 @@ def ngram_jaccard_pairs(
     The standard df-pruning tradeoff applies: a pair whose shared shingles
     are ALL hotter than ``max_df`` is not discovered.
     """
-    sh = stage_persist(
-        df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
-            F.col(id_col).alias("doc"), token_ngrams(F.col(text_col), n).alias("sh")
-        )
+    toks = _token_frame(df, id_col, text_col, n)
+    inv = toks.select(
+        "doc", F.explode(ngrams_from_tokens(F.col("toks"), n)).alias("s")
     )
-    inv = sh.select("doc", F.explode("sh").alias("s"))
     capped = drop_hot_buckets(inv, max_df, key="s")
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
@@ -86,9 +104,18 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return (
-        cand.join(sh.select(F.col("doc").alias("a_id"), F.col("sh").alias("sa")), "a_id")
-        .join(sh.select(F.col("doc").alias("b_id"), F.col("sh").alias("sb")), "b_id")
-        .withColumn("jac", jaccard(F.col("sa"), F.col("sb")))
+        cand.join(
+            toks.select(F.col("doc").alias("a_id"), F.col("toks").alias("ta")), "a_id"
+        )
+        .join(
+            toks.select(F.col("doc").alias("b_id"), F.col("toks").alias("tb")), "b_id"
+        )
+        .withColumn(
+            "jac",
+            jaccard(
+                ngrams_from_tokens(F.col("ta"), n), ngrams_from_tokens(F.col("tb"), n)
+            ),
+        )
         .filter(F.col("jac") >= threshold)
         .select("a_id", "b_id", "jac")
     )
@@ -109,17 +136,18 @@ def minhash_near_dups(
     minhash band keys are high-entropy by construction, but a corpus with B
     exact duplicates of one document still puts all B in every band bucket;
     run exact_dedup first, or set a cap, when that is a possibility."""
-    sh = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
-        F.col(id_col).alias("doc"), token_ngrams(F.col(text_col), n).alias("sh")
+    # materialize once: the token frame feeds the signature AND both
+    # verification joins (shingles recomputed inline — see _token_frame),
+    # sig feeds both sides of the band self-join — without these each
+    # alias recomputes the full subplan (measured ~4x cost). Persist mode
+    # is profile-dependent (SPARK_GRAFT_PERSIST): eager localCheckpoint
+    # locally, DISK_ONLY on a cluster where lineage recovery matters —
+    # see session.stage_persist / SCALE.md.
+    toks = _token_frame(df, id_col, text_col, n)
+    sh_sig = toks.select("doc", ngrams_from_tokens(F.col("toks"), n).alias("sh"))
+    sig = stage_persist(
+        minhash_bands_agg(sh_sig, "doc", "sh", num_perm, bands, rows_per_band)
     )
-    # materialize once: sh feeds the signature AND both verification joins,
-    # sig feeds both sides of the band self-join — without this each alias
-    # recomputes the full shingle+minhash subplan (measured ~4x cost).
-    # Persist mode is profile-dependent (SPARK_GRAFT_PERSIST): eager
-    # localCheckpoint locally, DISK_ONLY on a cluster where lineage
-    # recovery matters — see session.stage_persist / SCALE.md.
-    sh = stage_persist(sh)
-    sig = stage_persist(minhash_bands_agg(sh, "doc", "sh", num_perm, bands, rows_per_band))
     if max_bucket is not None:
         sig = drop_hot_buckets(sig, max_bucket)
     a, b = sig.alias("a"), sig.alias("b")
@@ -130,9 +158,18 @@ def minhash_near_dups(
         .distinct()
     )
     return (
-        cand.join(sh.select(F.col("doc").alias("a_id"), F.col("sh").alias("sa")), "a_id")
-        .join(sh.select(F.col("doc").alias("b_id"), F.col("sh").alias("sb")), "b_id")
-        .withColumn("jac", jaccard(F.col("sa"), F.col("sb")))
+        cand.join(
+            toks.select(F.col("doc").alias("a_id"), F.col("toks").alias("ta")), "a_id"
+        )
+        .join(
+            toks.select(F.col("doc").alias("b_id"), F.col("toks").alias("tb")), "b_id"
+        )
+        .withColumn(
+            "jac",
+            jaccard(
+                ngrams_from_tokens(F.col("ta"), n), ngrams_from_tokens(F.col("tb"), n)
+            ),
+        )
         .filter(F.col("jac") >= threshold)
         .select("a_id", "b_id", "jac")
     )
@@ -160,15 +197,14 @@ def cross_corpus_overlap(
     ``max_bucket`` (optional) caps each side's band buckets before the join.
     Returns (a_id from corpus_a, b_id from corpus_b, jac >= threshold).
     """
-    def prep(df: DataFrame) -> DataFrame:
-        sh = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
-            F.col(id_col).alias("doc"), token_ngrams(F.col(text_col), n).alias("sh")
-        )
-        return stage_persist(sh)
+    ta = _token_frame(corpus_a, id_col, text_col, n)
+    tb = _token_frame(corpus_b, id_col, text_col, n)
 
-    sha, shb = prep(corpus_a), prep(corpus_b)
-    siga = minhash_bands_agg(sha, "doc", "sh", num_perm, bands, rows_per_band)
-    sigb = minhash_bands_agg(shb, "doc", "sh", num_perm, bands, rows_per_band)
+    def sig(toks: DataFrame) -> DataFrame:
+        sh = toks.select("doc", ngrams_from_tokens(F.col("toks"), n).alias("sh"))
+        return minhash_bands_agg(sh, "doc", "sh", num_perm, bands, rows_per_band)
+
+    siga, sigb = sig(ta), sig(tb)
     if max_bucket is not None:
         siga = drop_hot_buckets(siga, max_bucket)
         sigb = drop_hot_buckets(sigb, max_bucket)
@@ -179,9 +215,18 @@ def cross_corpus_overlap(
         .distinct()
     )
     return (
-        cand.join(sha.select(F.col("doc").alias("a_id"), F.col("sh").alias("sa")), "a_id")
-        .join(shb.select(F.col("doc").alias("b_id"), F.col("sh").alias("sb")), "b_id")
-        .withColumn("jac", jaccard(F.col("sa"), F.col("sb")))
+        cand.join(
+            ta.select(F.col("doc").alias("a_id"), F.col("toks").alias("ka")), "a_id"
+        )
+        .join(
+            tb.select(F.col("doc").alias("b_id"), F.col("toks").alias("kb")), "b_id"
+        )
+        .withColumn(
+            "jac",
+            jaccard(
+                ngrams_from_tokens(F.col("ka"), n), ngrams_from_tokens(F.col("kb"), n)
+            ),
+        )
         .filter(F.col("jac") >= threshold)
         .select("a_id", "b_id", "jac")
     )

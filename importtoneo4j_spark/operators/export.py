@@ -58,10 +58,25 @@ def export_neo4j_admin(nodes: DataFrame, triples: DataFrame, out_dir: str) -> di
     ``out_dir`` and return a manifest including the ready-to-run
     ``neo4j-admin database import full`` command."""
     spark = nodes.sparkSession
+    # a ';' INSIDE a label value is unrepresentable: it is the array
+    # delimiter, and neo4j-admin offers no escape for it within a quoted
+    # array cell (quoting protects the ',' field delimiter only). Fail the
+    # write loudly, row-side and distributed, instead of silently exporting
+    # a label that would import as two
+    checked_label = lambda x: F.when(  # noqa: E731
+        x.contains(";"),
+        F.raise_error(
+            F.concat(
+                F.lit("label value contains the ';' array delimiter: "), x
+            )
+        ),
+    ).otherwise(x)
     n = nodes.select(
         F.col("entity_id").cast("string"),
         F.coalesce(F.col("canonical_surface"), F.lit("")).alias("canonical_surface"),
-        F.array_join(F.array_sort("labels"), ";").alias("labels"),
+        F.array_join(F.transform(F.array_sort("labels"), checked_label), ";").alias(
+            "labels"
+        ),
         F.col("n_mentions").cast("long"),
         F.col("n_surfaces").cast("long"),
         F.coalesce(F.to_json("properties"), F.lit("")).alias("properties"),
@@ -94,6 +109,8 @@ def export_neo4j_admin(nodes: DataFrame, triples: DataFrame, out_dir: str) -> di
             "neo4j-admin database import full "
             f'--nodes="{nodes_header},{nodes_dir}/part-.*\\.csv" '
             f'--relationships="{rels_header},{rels_dir}/part-.*\\.csv" '
-            "--array-delimiter=';' neo4j"
+            # multiline-fields: the writer quotes embedded newlines (RFC
+            # 4180), which the tool only accepts with this flag
+            "--array-delimiter=';' --multiline-fields=true neo4j"
         ),
     }
