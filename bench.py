@@ -118,6 +118,33 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Append-at-scale leg (VERDICT r4 #8): the incremental story's selling
+    # point, measured at bench scale. Seed a store with the full corpus
+    # (untimed), then run mode='append' with a ~10% larger input — the
+    # deterministic generator's rng streams are prefix-stable, so the
+    # larger corpus is a strict superset (the documented append contract:
+    # re-export + new data). Reported OUTSIDE the headline total so
+    # round-over-round totals stay comparable.
+    n_convs_app = int(n_convs * 1.1)
+    data_app = transcripts_path(n_convs_app)
+    append_sec, ma = None, None
+    for rep in range(kg_repeats):  # min-of-N, like the rebuild leg
+        work = tempfile.mkdtemp(prefix="kg_append_", dir=shm_root)
+        KGPipeline(spark, data, work, run_id="base").run(resume=False)
+        pa = KGPipeline(spark, data_app, work, run_id="incr", mode="append")
+        ma_rep = pa.run(resume=False)
+        shutil.rmtree(work, ignore_errors=True)
+        sec = round(ma_rep["wall_sec"], 3)
+        print(f"[bench] kg_append rep {rep}: {sec}s", file=sys.stderr)
+        if append_sec is None or sec < append_sec:
+            append_sec, ma = sec, ma_rep
+    new_turns = ma["ingest"]["valid"] + ma["ingest"]["rejected"] - n_turns
+    print(
+        f"[bench] kg_append(+10%): {append_sec}s vs full rebuild {kg_sec}s "
+        f"(new_turns~{new_turns})",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_bench_sec",
@@ -129,6 +156,9 @@ def main() -> None:
         "kg_triples": n_triples,
         "kg_turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec else None,
         "kg_assertions_per_sec": round(n_assertions / kg_sec, 1) if kg_sec else None,
+        "kg_append_sec": append_sec,
+        "kg_append_new_turns": new_turns,
+        "kg_rebuild_sec": kg_sec,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -168,9 +168,44 @@ class KGPipeline:
 
     def stage_extract(self) -> None:
         valid = self._valid()
-        extracted = extract_assertions(valid)
-        n = self._write_counted(extracted, "extracted")
-        self.metrics["extract"] = {"assertions": n}
+        reusing = (
+            self.mode == "append"
+            and self.store.exists("extracted")
+            and self.store.exists("conv_watermarks")
+            and bool(self._prev_runs())
+        )
+        if reusing:
+            # Round 5: run the Arrow extraction UDF on the DELTA turns only
+            # and reuse the snapshot's extraction for everything at or
+            # below the per-conversation watermark. Per-turn extraction is
+            # row-local and deterministic, and the append input is a
+            # documented superset whose old turns are byte-identical (the
+            # per-turn text-equality invariant), so
+            #   union(prev_extracted, extract(delta)) == extract(superset)
+            # bit-for-bit — every downstream consumer (vocabulary,
+            # staleness detection, fold inventory) sees the same full
+            # table, but at 10^12 turns the UDF touches the 10^11 new ones
+            # instead of re-chewing the whole corpus. Staged through a
+            # sibling table: parquet cannot overwrite the path it scans.
+            wm = self.store.read("conv_watermarks")
+            delta = (
+                valid.join(wm, "conv_id", "left")
+                .filter(
+                    F.col("max_turn").isNull()
+                    | (F.col("turn_idx") > F.col("max_turn"))
+                )
+                .drop("max_turn")
+            )
+            extracted = self.store.read("extracted").unionByName(
+                extract_assertions(delta)
+            )
+            n = self._write_counted(extracted, "extracted_next")
+            self.store.write(self.store.read("extracted_next"), "extracted")
+            self.store.drop("extracted_next")
+        else:
+            extracted = extract_assertions(valid)
+            n = self._write_counted(extracted, "extracted")
+        self.metrics["extract"] = {"assertions": n, "delta_only": reusing}
         self._mark("extract", assertions=n)
 
     def stage_link(self) -> None:

@@ -38,6 +38,11 @@ def test_append_same_input_is_noop(spark, data, tmp_path_factory):
     m2 = p2.run(resume=False)
     assert m2["materialize"]["triples"] == n1
     assert p2.store.read("triples_delta").count() == 0
+    # round 5: the append run reuses the snapshot's extraction and runs the
+    # UDF on the (here empty) watermark delta only — yet the full inventory
+    # it writes is identical to the overwrite run's
+    assert m2["extract"]["delta_only"] is True
+    assert m2["extract"]["assertions"] == m1["extract"]["assertions"]
 
 
 def test_append_layout_survives_new_session(spark, tmp_path_factory):
