@@ -1386,6 +1386,54 @@ def _sql_emb_near_dups() -> str:
     """
 
 
+def emb_near_dups_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_near_dups with nprobe=2 (round 5): every vector joins its
+    TWO nearest IVF buckets, recovering pairs that straddle one bucket
+    boundary; pairs surfacing via both shared buckets dedupe BEFORE
+    scoring. Completes the oracle coverage of the multi-probe path — the
+    r4 gate checked only the plain argmax assignment (nprobe=1). The auto
+    hot-bucket cap runs over the multi-probe assignment (2N memberships),
+    exactly mirrored in the HAVING guard."""
+    from importtoneo4j_spark.operators.similarity import embedding_near_dups
+
+    e = _load(spark, sf_dir, "embeddings")["embeddings"]
+    out = embedding_near_dups(e, threshold=0.45, n_centroids=16, nprobe=2)
+    return out.select("a_id", "b_id", F.round("sim", 4).alias("sim"))
+
+
+def _sql_emb_near_dups_multiprobe() -> str:
+    cos_ec = _sql_cosine("e.embedding", "c.ce")
+    cos_ab = _sql_cosine("ea.embedding", "eb.embedding")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+      ORDER BY vec_id LIMIT 16
+    ), assigned AS (
+      SELECT vec_id, bucket FROM (
+        SELECT e.vec_id, c.centroid_id AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.centroid_id) AS rnk
+        FROM embeddings e, cents c)
+      WHERE rnk <= 2
+    ), hot AS (
+      SELECT bucket FROM assigned GROUP BY bucket
+      HAVING count(*) > greatest(256.0,
+                                 8.0 * (SELECT count(*) FROM assigned) / 16)
+    ), capped AS (
+      SELECT * FROM assigned WHERE bucket NOT IN (SELECT bucket FROM hot)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM capped a JOIN capped b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, round({cos_ab}, 4) AS sim
+    FROM cand
+    JOIN embeddings ea ON cand.a_id = ea.vec_id
+    JOIN embeddings eb ON cand.b_id = eb.vec_id
+    WHERE {cos_ab} >= 0.45
+    """
+
+
 def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 affine quantization round-trip quality (operators/similarity.py
     ::quantize_embeddings — 4x embedding storage reduction at 100 TB):
@@ -2547,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssj_bounded_join": ssj_bounded_join,
         "w4_session_window": w4_session_window,
         "ann_ivf_quantized": ann_ivf_quantized,
+        "emb_near_dups_multiprobe": emb_near_dups_multiprobe,
         "kg_flagship": kg_flagship,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_unshipped_revenue": q3_unshipped_revenue,
@@ -2669,4 +2718,5 @@ def oracle_sql() -> dict[str, str]:
         "ssj_bounded_join": _sql_ssj(),
         "w4_session_window": _sql_w4(),
         "ann_ivf_quantized": _sql_ann_ivf_quantized(),
+        "emb_near_dups_multiprobe": _sql_emb_near_dups_multiprobe(),
     }
