@@ -1285,12 +1285,24 @@ def ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    out = ivf_topk_quantized(e, q, k=3, n_centroids=16, nprobe=4)
-    return out.select(
-        "qid",
-        "vec_id",
-        F.round("sim", 4).alias("sim"),
-        F.col("rank").cast("int").alias("rank"),
+    # k large enough to keep EVERY probed candidate: the gate applies its
+    # own top-3 cut ranked by the ROUNDED similarity (CLAUDE.md window
+    # top-k rule — a sub-1e-4 cross-engine float divergence at the cut
+    # must not flip membership), with the integer id as tiebreak, and the
+    # oracle ranks identically.
+    cands = ivf_topk_quantized(e, q, k=2**31 - 1, n_centroids=16, nprobe=4)
+    w = Window.partitionBy("qid").orderBy(
+        F.round("sim", 4).desc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.withColumn("rrank", F.row_number().over(w))
+        .filter(F.col("rrank") <= 3)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("sim", 4).alias("sim"),
+            F.col("rrank").cast("int").alias("rank"),
+        )
     )
 
 
@@ -1339,7 +1351,8 @@ def _sql_ann_ivf_quantized() -> str:
     )
     SELECT qid, vec_id, round(sim, 4) AS sim, CAST(rank AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                                       ORDER BY sim DESC, vec_id) AS rank
+                                       ORDER BY round(sim, 4) DESC, vec_id)
+                    AS rank
           FROM sims)
     WHERE rank <= 3
     """
@@ -2260,10 +2273,12 @@ def w4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/windows.py::session_window_stream runs under a watermark;
     identical semantics on a static frame): per-user sessions closed after
     a 30-minute quiet period. The window is [first_ts, last_ts + gap); a
-    gap that merely REACHES 30 minutes starts a new session (>=, not > —
-    the boundary w2's lag formulation gets wrong with '>'). Gated
-    (VERDICT r4 next #5) so the session-merge semantics are
-    oracle-verified, not just parity-tested."""
+    new session starts only when the quiet period EXCEEDS the gap — a
+    pair of events exactly 30 minutes apart shares one session
+    (empirically verified on Spark 4.1.2: gaps of 1800 s merge, 1801 s
+    split; the oracle's lag test uses strict '>'). Gated (VERDICT r4
+    next #5) so the session-merge semantics are oracle-verified, not just
+    parity-tested."""
     e = _load(spark, sf_dir, "events")["events"]
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
@@ -2282,7 +2297,7 @@ def _sql_w4() -> str:
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800
+                  OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -196,9 +196,20 @@ class KGPipeline:
                 )
                 .drop("max_turn")
             )
-            extracted = self.store.read("extracted").unionByName(
-                extract_assertions(delta)
+            # prev is the snapshot RESTRICTED to at-or-below watermark —
+            # never the raw table. Resume idempotency (code-review round
+            # 5): a crash after the 'extracted' swap but before the stage
+            # marker would otherwise make the resumed run union the delta
+            # a SECOND time (conv_watermarks only advances in
+            # materialize); the filter strips any delta rows a previous
+            # attempt already merged, so re-running the stage is a no-op.
+            prev = (
+                self.store.read("extracted")
+                .join(wm, "conv_id", "inner")
+                .filter(F.col("turn_idx") <= F.col("max_turn"))
+                .drop("max_turn")
             )
+            extracted = prev.unionByName(extract_assertions(delta))
             n = self._write_counted(extracted, "extracted_next")
             self.store.write(self.store.read("extracted_next"), "extracted")
             self.store.drop("extracted_next")

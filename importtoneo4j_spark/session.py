@@ -110,28 +110,34 @@ def stage_unpersist(df) -> None:
     plan is a LogicalRDD, and DataFrame.unpersist only talks to the SQL
     cache manager. The frame is DEAD afterwards (local checkpoints
     truncate lineage and cannot recompute); only call on frames whose
-    checkpoints nothing else reads — every LogicalRDD leaf under the plan
-    is released, so a frame sharing a checkpoint with a live sibling would
-    kill the sibling too. Blocking on purpose: the release is cheap, and a
-    deterministic storage view is what the leak tests assert."""
+    checkpoints nothing else reads. The walk descends ONLY through unary
+    wrapper nodes (Project/Filter/aliases/limits) — a checkpoint's own
+    frame and thin selects over it are released, but a LAZY frame (e.g.
+    stage_persist under SPARK_GRAFT_PERSIST=none returns its input
+    unchanged) never exposes checkpoints buried under its joins and
+    aggregates, which belong to the CALLER (code-review round 5: the
+    previous full walk would have killed a caller-owned checkpointed
+    edges frame in 'none' mode). Blocking on purpose: the release is
+    cheap, and a deterministic storage view is what the leak tests
+    assert."""
     lvl = df.storageLevel
     if lvl.useMemory or lvl.useDisk:
         # persist()/cache() modes: release THIS frame's cache entry only —
         # never walk below it (the plan may read caller-owned checkpoints)
         df.unpersist(True)
         return
+    unary_ok = {"Project", "Filter", "SubqueryAlias", "GlobalLimit", "LocalLimit"}
     found = False
     try:
-        stack = [df._jdf.queryExecution().analyzed()]
-        while stack:
-            node = stack.pop()
+        node = df._jdf.queryExecution().analyzed()
+        while True:
             if node.nodeName() == "LogicalRDD":
                 node.rdd().unpersist(True)
                 found = True
-                continue
-            children = node.children()
-            for i in range(children.size()):
-                stack.append(children.apply(i))
+                break
+            if node.nodeName() not in unary_ok or node.children().size() != 1:
+                break
+            node = node.children().apply(0)
     except Exception:
         pass
     if not found:

@@ -80,10 +80,11 @@ def session_window_stream(
     — state merges adjacent windows per key; the watermark closes a
     session once no event can extend it). Batch twin: the SAME expression
     on a static frame (parity-tested), whose session count per key equals
-    the lag-based w2 sessionization with a >= gap threshold — the native
-    operator closes a session when the quiet period REACHES the gap
-    (window is [start, last_ts + gap)), while a lag formulation with '>'
-    would merge an event landing exactly at the boundary."""
+    the lag-based w2 sessionization with a STRICT > gap threshold: the
+    native operator starts a new session only when the quiet period
+    EXCEEDS the gap (window is [start, last_ts + gap), and an event
+    landing exactly at last_ts + gap still merges — verified empirically
+    on Spark 4.1.2, boundary-asserted in tests)."""
     stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_dir)
     return (
         stream.withWatermark("ts", watermark)

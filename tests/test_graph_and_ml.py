@@ -756,6 +756,26 @@ def test_iterative_analytics_release_persisted_state(spark):
             assert n_blocks() <= before
 
 
+def test_stage_unpersist_none_mode_spares_caller_checkpoints(spark, monkeypatch):
+    """Code-review round 5: under SPARK_GRAFT_PERSIST=none, stage_persist
+    returns the caller's lazy frame, so the analytics' finally-release
+    must NOT walk below joins/aggregates and unpersist a checkpoint the
+    CALLER owns (local checkpoints cannot recompute — the caller's frame
+    would die)."""
+    from importtoneo4j_spark.operators.graph import bfs_distances, pagerank
+
+    monkeypatch.setenv("SPARK_GRAFT_PERSIST", "none")
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 20}") for i in range(60)],
+        "subj string, obj string",
+    ).localCheckpoint()
+    pagerank(edges, iters=2).count()
+    assert edges.count() == 60  # caller's checkpoint survived
+    srcs = spark.createDataFrame([("n0",)], "id string")
+    bfs_distances(edges, srcs, max_hops=2).count()
+    assert edges.count() == 60
+
+
 def test_bfs_distances_id_col_validated(spark):
     """ADVICE r4: a sources frame without the id column raises instead of
     silently using whatever column happens to be first."""

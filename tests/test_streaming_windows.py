@@ -57,7 +57,8 @@ def test_session_window_stream_matches_batch_and_lag(
 ):
     """Streaming native session windows == the same expression as batch;
     batch session counts per conversation == lag-based sessionization with
-    the >= gap threshold (the native operator's boundary semantics)."""
+    the STRICT > gap threshold (the native operator's boundary semantics:
+    an event exactly gap seconds after the last one still merges)."""
     from importtoneo4j_spark.streaming.windows import session_window_stream
 
     ckpt = str(tmp_path_factory.mktemp("sws") / "ckpt")
@@ -88,7 +89,7 @@ def test_session_window_stream_matches_batch_and_lag(
     gap = epoch - F.lag(epoch).over(w)
     lag_counts = (
         base.withColumn(
-            "new_sess", F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0)
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
         )
         .groupBy("conv_id")
         .agg(F.sum("new_sess").alias("n_sessions"))
@@ -98,3 +99,28 @@ def test_session_window_stream_matches_batch_and_lag(
 
     native_counts = Counter(k[0] for k in got)
     assert dict(native_counts) == lag_want
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """The boundary case the corpus dodges (microsecond timestamps): two
+    events EXACTLY gap seconds apart share a session; gap+1 splits. This
+    pins the strict-> semantics the w4 oracle and the lag parity above
+    rely on (a code-review round-5 finding: the oracle briefly used >=,
+    which no generated corpus happened to contradict)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=1800)),   # exactly the gap: merges
+        (1, t0 + dt.timedelta(seconds=3599)),   # 1799 after prev: merges
+        (2, t0),
+        (2, t0 + dt.timedelta(seconds=1801)),   # over the gap: splits
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    rows_out = [(r["user_id"], r["n"]) for r in out.collect()]
+    assert sorted(rows_out) == [(1, 3), (2, 1), (2, 1)]
