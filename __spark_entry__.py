@@ -2107,6 +2107,67 @@ def _sql_g5() -> str:
     """
 
 
+def g7_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford weighted shortest paths (4 relax rounds) from
+    two customer nodes over the bidirectional customer<->supplier graph,
+    integer edge weights = min lineitem quantity on the relation
+    (operators/graph.py::shortest_paths — one relax join + one min
+    groupBy per round; integer sums stay exact across engines). Oracle:
+    the same 4 relaxations as unrolled CTEs — min-plus semiring, no path
+    enumeration (a recursive-CTE walk would enumerate deg^4 paths)."""
+    from importtoneo4j_spark.operators.graph import shortest_paths
+
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    fwd = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("obj"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("subj", "obj")
+        .agg(F.min("w").alias("w"))
+    )
+    edges = fwd.unionByName(
+        fwd.select(
+            F.col("obj").alias("subj"), F.col("subj").alias("obj"), F.col("w")
+        )
+    )
+    srcs = spark.createDataFrame([("C1",), ("C2",)], "id string")
+    out = shortest_paths(edges, srcs, weight="w", max_iters=4)
+    return out.select("id", F.col("dist").cast("long").alias("dist"))
+
+
+def _sql_g7() -> str:
+    relax = """
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS id, {prev}.dist + e.w AS dist
+        FROM {prev} JOIN e ON e.src = {prev}.id
+      ) GROUP BY id"""
+    ctes = ", ".join(
+        f"d{i + 1} AS ({relax.format(prev=f'd{i}')})" for i in range(4)
+    )
+    return f"""
+    WITH base AS (
+      SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+             'S' || CAST(l_suppkey AS VARCHAR) AS dst,
+             min(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT src, dst, w FROM base
+      UNION ALL
+      SELECT dst, src, w FROM base
+    ), d0 AS (
+      SELECT id, CAST(0 AS BIGINT) AS dist FROM (VALUES ('C1'), ('C2')) s(id)
+    ), {ctes}
+    SELECT id, CAST(dist AS BIGINT) AS dist FROM d4
+    """
+
+
 def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two rounds of deterministic synchronous label propagation over the
     undirected customer/supplier/part graph (operators/graph.py::
@@ -2611,6 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_session_window": w4_session_window,
         "ann_ivf_quantized": ann_ivf_quantized,
         "emb_near_dups_multiprobe": emb_near_dups_multiprobe,
+        "g7_weighted_sssp": g7_weighted_sssp,
         "kg_flagship": kg_flagship,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_unshipped_revenue": q3_unshipped_revenue,
@@ -2734,4 +2796,5 @@ def oracle_sql() -> dict[str, str]:
         "w4_session_window": _sql_w4(),
         "ann_ivf_quantized": _sql_ann_ivf_quantized(),
         "emb_near_dups_multiprobe": _sql_emb_near_dups_multiprobe(),
+        "g7_weighted_sssp": _sql_g7(),
     }

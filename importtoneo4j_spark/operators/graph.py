@@ -433,6 +433,68 @@ def label_propagation(
         stage_unpersist(und)
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight: str = "w",
+    max_iters: int = 4,
+    src: str = "subj",
+    dst: str = "obj",
+    id_col: str = "id",
+) -> DataFrame:
+    """Bounded Bellman-Ford single/multi-source shortest paths ->
+    (id, dist): minimum total edge weight over paths of at most
+    ``max_iters`` edges from any source (round 5 — the weighted sibling
+    of bfs_distances; the reference's traversal API has no notion of
+    weighted distance at all). Non-negative weights assumed (documented;
+    negative cycles would need the full |V|-1 iterations plus a cycle
+    check). Fixed iteration count, no RNG — oracle-checkable as
+    ``max_iters`` unrolled relax CTEs.
+
+    Scale shape per iteration: ONE equi-join of the distance vector with
+    the edge list on src plus ONE partial-aggregating groupBy(dst) (the
+    min-relax collapses map-side), then a full outer join with the
+    current vector — linear in |E|, no windows. Distance vector is
+    localCheckpoint-ed per round and superseded checkpoints are released
+    (the round-5 unpersist discipline); integer weights stay exact."""
+    from importtoneo4j_spark.session import stage_persist, stage_unpersist
+
+    if id_col not in sources.columns:
+        raise ValueError(
+            f"sources is missing id column {id_col!r} (columns: {sources.columns})"
+        )
+    e = stage_persist(
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+        )
+    )
+    try:
+        dist = (
+            sources.select(F.col(id_col).alias("id"))
+            .distinct()
+            .select("id", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iters):
+            relaxed = (
+                e.join(dist.select(F.col("id").alias("src"), "dist"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+            )
+            prev = dist
+            dist = (
+                dist.join(relaxed, "id", "full")
+                # least() skips nulls (returns null only if BOTH are), so
+                # the full outer join's one-sided rows keep their value
+                .select("id", F.least("dist", "cand").alias("dist"))
+                .localCheckpoint()
+            )
+            stage_unpersist(prev)
+        return dist
+    finally:
+        stage_unpersist(e)
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "subj",

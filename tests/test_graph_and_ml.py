@@ -756,6 +756,38 @@ def test_iterative_analytics_release_persisted_state(spark):
             assert n_blocks() <= before
 
 
+def test_shortest_paths_hand_graph(spark):
+    """Bounded Bellman-Ford on a hand graph: a longer-hop lighter path
+    wins over the direct heavy edge, the hop bound truncates, and
+    unreachable nodes are absent."""
+    from importtoneo4j_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10),  # direct, heavy
+            ("a", "c", 1),
+            ("c", "b", 2),   # a->c->b = 3 beats 10
+            ("b", "d", 1),
+            ("d", "e", 1),
+            ("e", "f", 1),   # a..f needs 5 hops via light path
+            ("x", "y", 1),   # disconnected from a
+        ],
+        "subj string, obj string, w long",
+    )
+    srcs = spark.createDataFrame([("a",)], "id string")
+    got = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(edges, srcs, max_iters=4).collect()
+    }
+    # a->c->b->d->e is 4 edges (dist 5); f needs 5 edges — truncated out...
+    # except via the heavy direct edge a->b (1 hop), b->d->e->f = 4 hops
+    # total dist 13. The bound is on EDGE COUNT per path, not hops from
+    # the lightest tree.
+    assert got == {"a": 0, "c": 1, "b": 3, "d": 4, "e": 5, "f": 13}
+    with pytest.raises(ValueError, match="id column"):
+        shortest_paths(edges, spark.createDataFrame([(1,)], "x int"))
+
+
 def test_stage_unpersist_none_mode_spares_caller_checkpoints(spark, monkeypatch):
     """Code-review round 5: under SPARK_GRAFT_PERSIST=none, stage_persist
     returns the caller's lazy frame, so the analytics' finally-release
