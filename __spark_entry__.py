@@ -2168,6 +2168,69 @@ def _sql_g7() -> str:
     """
 
 
+def g8_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbour link prediction over the bipartite customer-part
+    graph (custkey < 100): customer pairs sharing >= 2 parts, scored by
+    shared count and neighbourhood Jaccard (operators/graph.py::
+    link_prediction_common_neighbors — wedge join through the shared
+    neighbour + one partial-agg groupBy, the KG-completion primitive).
+    Gate keeps the customer-customer side; the oracle mirrors the wedge
+    self-join, degree table and Jaccard exactly (integer counts, one
+    rounded double)."""
+    from importtoneo4j_spark.operators.graph import (
+        link_prediction_common_neighbors,
+    )
+
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    out = link_prediction_common_neighbors(edges, min_common=2)
+    return (
+        out.filter(F.col("a").startswith("C"))
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
+def _sql_g8() -> str:
+    return """
+    WITH cp AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS u,
+                      'P' || CAST(l_partkey AS VARCHAR) AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey < 100
+    ), und AS (
+      SELECT u, v FROM cp UNION SELECT v, u FROM cp
+    ), deg AS (
+      SELECT u, count(*) AS deg FROM und GROUP BY u
+    ), cand AS (
+      SELECT a.u AS a, b.u AS b, count(*) AS n_common
+      FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT cand.a, cand.b, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / (da.deg + db.deg - n_common), 4) AS jaccard
+    FROM cand
+    JOIN deg da ON cand.a = da.u
+    JOIN deg db ON cand.b = db.u
+    WHERE cand.a LIKE 'C%'
+      AND NOT EXISTS (SELECT 1 FROM und WHERE und.u = cand.a AND und.v = cand.b)
+    """
+
+
 def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two rounds of deterministic synchronous label propagation over the
     undirected customer/supplier/part graph (operators/graph.py::
@@ -2673,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_quantized": ann_ivf_quantized,
         "emb_near_dups_multiprobe": emb_near_dups_multiprobe,
         "g7_weighted_sssp": g7_weighted_sssp,
+        "g8_link_prediction": g8_link_prediction,
         "kg_flagship": kg_flagship,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_unshipped_revenue": q3_unshipped_revenue,
@@ -2797,4 +2861,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_quantized": _sql_ann_ivf_quantized(),
         "emb_near_dups_multiprobe": _sql_emb_near_dups_multiprobe(),
         "g7_weighted_sssp": _sql_g7(),
+        "g8_link_prediction": _sql_g8(),
     }

@@ -495,6 +495,71 @@ def shortest_paths(
         stage_unpersist(e)
 
 
+def link_prediction_common_neighbors(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_degree: int | None = None,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Missing-edge candidates by shared neighbourhood (round 5 — the KG
+    COMPLETION primitive: after construction, propose (a, b) pairs that
+    are not connected but share >= min_common neighbours, scored by
+    common-neighbour count and neighbourhood Jaccard). Undirected view;
+    returns (a, b, n_common, jaccard) with a < b, existing edges
+    anti-joined away.
+
+    Scale shape: a wedge join through the shared neighbour (one shuffle
+    on the neighbour id) + one partial-aggregating groupBy(a, b) — the
+    same skeleton as triangle_count's wedge build. A hub with degree B
+    emits B^2 wedge pairs, so ``max_degree`` drops hub VERTICES from the
+    wedge build before the join (the drop_hot_buckets economics; the
+    celebrity node proposes everyone to everyone and carries no signal).
+    Dropped hubs still count toward their neighbours' degrees, keeping
+    the Jaccard denominators honest."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("deg"))
+    wedge_src = und
+    if max_degree is not None:
+        hot = deg.filter(F.col("deg") > max_degree).select(F.col("u").alias("v"))
+        # drop wedges THROUGH hub neighbours (the quadratic fan-out), not
+        # the hub's own candidacy as an endpoint
+        wedge_src = und.join(hot, "v", "left_anti")
+    a = wedge_src.select(F.col("u").alias("a"), F.col("v").alias("n"))
+    b = wedge_src.select(F.col("u").alias("b"), F.col("v").alias("n"))
+    cand = (
+        a.join(b, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    existing = und.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("db"))
+    return (
+        cand.join(existing, ["a", "b"], "left_anti")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "subj",

@@ -788,6 +788,53 @@ def test_shortest_paths_hand_graph(spark):
         shortest_paths(edges, spark.createDataFrame([(1,)], "x int"))
 
 
+def test_link_prediction_common_neighbors(spark):
+    """Hand graph: unconnected pair sharing two neighbours surfaces with
+    the right count and Jaccard; an adjacent pair is excluded; the hub
+    cap drops wedges THROUGH the hub but keeps full degrees."""
+    from importtoneo4j_spark.operators.graph import (
+        link_prediction_common_neighbors,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "n1"), ("a", "n2"), ("b", "n1"), ("b", "n2"),  # a,b share 2
+            ("a", "b2"),                                        # extra degree on a
+            ("c", "n1"), ("c", "d"), ("d", "n1"),               # c,d adjacent
+        ],
+        "subj string, obj string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["n_common"], round(r["jaccard"], 4))
+        for r in link_prediction_common_neighbors(edges, min_common=2).collect()
+    }
+    # a: deg 3 (n1,n2,b2); b: deg 2 (n1,n2); common 2 -> jac 2/(3+2-2).
+    # The undirected view also surfaces (n1,n2) through shared {a,b}
+    # (deg n1=4, n2=2 -> jac 2/4). c,d are adjacent -> excluded; every
+    # other pair shares < 2 neighbours.
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 4)),
+        ("n1", "n2"): (2, 0.5),
+    }
+
+    # hub cap: make n1 a hub (degree cap 3 drops wedges through it)
+    hub_edges = edges.unionByName(
+        spark.createDataFrame(
+            [("e", "n1"), ("f", "n1")], "subj string, obj string"
+        )
+    )
+    capped = {
+        (r["a"], r["b"]): r["n_common"]
+        for r in link_prediction_common_neighbors(
+            hub_edges, min_common=2, max_degree=3
+        ).collect()
+    }
+    # n1 now has degree 6 > 3: wedges THROUGH it vanish, so (a,b) drops to
+    # one shared neighbour (n2) and disappears; n1 as an ENDPOINT still
+    # pairs with n2 through the not-hot shared neighbours a and b
+    assert capped == {("n1", "n2"): 2}
+
+
 def test_stage_unpersist_none_mode_spares_caller_checkpoints(spark, monkeypatch):
     """Code-review round 5: under SPARK_GRAFT_PERSIST=none, stage_persist
     returns the caller's lazy frame, so the analytics' finally-release

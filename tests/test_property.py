@@ -223,3 +223,57 @@ def test_pagerank_invariants(spark, edges):
         assert abs(got[v] - ranks[v]) < 1e-9
         assert got[v] >= 0.15 / n - 1e-12
     assert sum(got.values()) <= 1.0 + 1e-9
+
+
+weighted_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=30,
+).filter(lambda es: any(a != b for a, b, _ in es))
+
+
+def bellman_ford_reference(edges, sources, max_iters):
+    """Sequential bounded Bellman-Ford: dist after exactly max_iters
+    synchronous relaxation rounds (paths of at most max_iters edges)."""
+    dist = {s: 0 for s in sources}
+    for _ in range(max_iters):
+        new = dict(dist)
+        for a, b, w in edges:
+            if a in dist:
+                cand = dist[a] + w
+                if b not in new or cand < new[b]:
+                    new[b] = cand
+        dist = new
+    return dist
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=weighted_edge_lists)
+def test_shortest_paths_matches_bellman_ford(spark, edges):
+    """Spark bounded Bellman-Ford == the sequential reference on arbitrary
+    weighted digraphs (round 5): same synchronous-relaxation semantics,
+    integer-exact distances, bounded by edge count per path."""
+    from importtoneo4j_spark.operators.graph import shortest_paths
+
+    rows = [(f"n{a:02d}", f"n{b:02d}", w) for a, b, w in edges if a != b]
+    df = spark.createDataFrame(rows, "subj string, obj string, w long")
+    sources = ["n00", "n05"]
+    srcs = spark.createDataFrame([(s,) for s in sources], "id string")
+    got = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(df, srcs, max_iters=3).collect()
+    }
+    want = bellman_ford_reference(
+        [(f"n{a:02d}", f"n{b:02d}", w) for a, b, w in edges if a != b],
+        sources,
+        3,
+    )
+    assert got == want
