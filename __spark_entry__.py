@@ -2231,6 +2231,52 @@ def _sql_g8() -> str:
     """
 
 
+def g9_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k=8, 3 rounds) over the bipartite
+    customer-part graph, custkey < 300 (operators/graph.py::k_core — one
+    degree groupBy + two semi-joins per round; the density filter before
+    expensive per-node work). This graph genuinely peels: 765 -> 725 ->
+    646 survivors at sf0.01. Oracle: three unrolled peel CTEs, final
+    degrees over the induced subgraph."""
+    from importtoneo4j_spark.operators.graph import k_core
+
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    out = k_core(edges, k=8, rounds=3)
+    return out.select("id", F.col("deg").cast("long").alias("deg"))
+
+
+def _sql_g9() -> str:
+    peel = """
+    v{i} AS (
+      SELECT u FROM (SELECT u, count(*) c FROM e{p} GROUP BY u) WHERE c >= 8
+    ), e{i} AS (
+      SELECT e{p}.u, e{p}.v FROM e{p}
+      JOIN v{i} a ON e{p}.u = a.u JOIN v{i} b ON e{p}.v = b.u
+    )"""
+    ctes = ",".join(peel.format(i=i + 1, p=i) for i in range(3))
+    return f"""
+    WITH cp AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS a,
+                      'P' || CAST(l_partkey AS VARCHAR) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey < 300
+    ), e0 AS (
+      SELECT a AS u, b AS v FROM cp UNION SELECT b, a FROM cp
+    ), {ctes}
+    SELECT u AS id, CAST(count(*) AS BIGINT) AS deg FROM e3 GROUP BY u
+    """
+
+
 def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two rounds of deterministic synchronous label propagation over the
     undirected customer/supplier/part graph (operators/graph.py::
@@ -2737,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups_multiprobe": emb_near_dups_multiprobe,
         "g7_weighted_sssp": g7_weighted_sssp,
         "g8_link_prediction": g8_link_prediction,
+        "g9_kcore": g9_kcore,
         "kg_flagship": kg_flagship,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_unshipped_revenue": q3_unshipped_revenue,
@@ -2862,4 +2909,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dups_multiprobe": _sql_emb_near_dups_multiprobe(),
         "g7_weighted_sssp": _sql_g7(),
         "g8_link_prediction": _sql_g8(),
+        "g9_kcore": _sql_g9(),
     }

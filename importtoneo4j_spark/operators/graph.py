@@ -495,6 +495,63 @@ def shortest_paths(
         stage_unpersist(e)
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Bounded k-core peeling (round 5): repeatedly remove vertices whose
+    degree in the SURVIVING subgraph is < k, ``rounds`` times, and return
+    (id, deg) — each survivor with its degree in the induced subgraph
+    after the final peel. The density filter KG pipelines run before
+    expensive per-node work (a vertex outside the 2-core cannot be in any
+    cycle; high-k cores isolate the dense nucleus). Fixed round count, so
+    the result is ``rounds`` unrolled peel CTEs in the oracle; a graph
+    that converges earlier is a fixpoint for the remaining rounds, which
+    then cost one no-op filter each.
+
+    Scale shape per round: ONE partial-aggregating degree groupBy + two
+    semi-joins of the edge list against the surviving vertex set (AQE
+    broadcasts it once it shrinks) — linear in the surviving |E|. Each
+    round's edge list is checkpointed and the superseded one released
+    (the round-5 unpersist discipline)."""
+    from importtoneo4j_spark.session import stage_persist, stage_unpersist
+
+    e = stage_persist(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    try:
+        for _ in range(rounds):
+            keep = (
+                e.groupBy("u")
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") >= k)
+                .select("u")
+            )
+            prev = e
+            e = stage_persist(
+                e.join(keep, "u", "left_semi").join(
+                    keep.withColumnRenamed("u", "v"), "v", "left_semi"
+                )
+            )
+            stage_unpersist(prev)
+        # checkpoint the (small) result so the big edge checkpoint can be
+        # released in the finally — and so a caller's stage_unpersist(out)
+        # frees the last block, same contract as the other analytics
+        return (
+            e.groupBy(F.col("u").alias("id"))
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint()
+        )
+    finally:
+        stage_unpersist(e)
+
+
 def link_prediction_common_neighbors(
     edges: DataFrame,
     min_common: int = 2,

@@ -724,8 +724,10 @@ def test_iterative_analytics_release_persisted_state(spark):
     returned frame, and stage_unpersist(result) releases that too."""
     from importtoneo4j_spark.operators.graph import (
         bfs_distances,
+        k_core,
         label_propagation,
         pagerank,
+        shortest_paths,
     )
     from importtoneo4j_spark.session import stage_unpersist
 
@@ -739,10 +741,13 @@ def test_iterative_analytics_release_persisted_state(spark):
         "subj string, obj string",
     )
     srcs = spark.createDataFrame([("n0",)], "id string")
+    wedges = edges.withColumn("w", F.lit(1).cast("long"))
     for op in (
         lambda: pagerank(edges, iters=3),
         lambda: bfs_distances(edges, srcs, max_hops=3),
         lambda: label_propagation(edges, iters=2),
+        lambda: shortest_paths(wedges, srcs, max_iters=3),
+        lambda: k_core(edges, k=2, rounds=2),
     ):
         for _ in range(2):
             # re-measure per call: the async ContextCleaner may reclaim
@@ -786,6 +791,23 @@ def test_shortest_paths_hand_graph(spark):
     assert got == {"a": 0, "c": 1, "b": 3, "d": 4, "e": 5, "f": 13}
     with pytest.raises(ValueError, match="id column"):
         shortest_paths(edges, spark.createDataFrame([(1,)], "x int"))
+
+
+def test_k_core_peeling(spark):
+    """Hand graph: a triangle plus a pendant chain under k=2 — round 1
+    removes the chain tip, round 2 the now-degree-1 middle, leaving the
+    triangle with degree 2 each; rounds=1 shows the intermediate state."""
+    from importtoneo4j_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "subj string, obj string",
+    )
+    final = {r["id"]: r["deg"] for r in k_core(edges, k=2, rounds=3).collect()}
+    assert final == {"a": 2, "b": 2, "c": 2}
+    # after ONE round only e is gone; d keeps a degree-1 edge to c
+    one = {r["id"]: r["deg"] for r in k_core(edges, k=2, rounds=1).collect()}
+    assert one == {"a": 2, "b": 2, "c": 3, "d": 1}
 
 
 def test_link_prediction_common_neighbors(spark):
