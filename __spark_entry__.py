@@ -1083,6 +1083,43 @@ def _sql_contamination_exact(n: int = 13, max_df: int = 1000) -> str:
     """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-likelihood under the corpus's own
+    unigram distribution (functions/text.py::unigram_logprob — the
+    model-free fluency/outlier filter; corpus-rare-token documents score
+    low). Exact count ratios, one ln per distinct (doc, term) pairing;
+    rounded to 4."""
+    from importtoneo4j_spark.functions.text import unigram_logprob
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    out = unigram_logprob(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("logprob", 4).alias("logprob"),
+    )
+
+
+def _sql_text_unigram_logprob() -> str:
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             AS term
+      FROM documents
+    ), t2 AS (
+      SELECT doc_id, term FROM toks WHERE term <> ''
+    ), freq AS (
+      SELECT term, count(*) AS cnt FROM t2 GROUP BY term
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq
+    )
+    SELECT t2.doc_id, count(*) AS n_tokens,
+           round(avg(ln(freq.cnt / tot.total)), 4) AS logprob
+    FROM t2 JOIN freq USING (term), tot
+    GROUP BY t2.doc_id
+    """
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality signals (the Gopher/C4 filter
     family): duplicate-3-gram fraction and top-word dominance ratio per
@@ -2277,6 +2314,69 @@ def _sql_g9() -> str:
     """
 
 
+def g10_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of unnormalized HITS over the directed customer->supplier
+    graph, custkey < 300 (operators/graph.py::hits — hub_0 = 1 keeps every
+    score an exact int64, so the fixed-iteration run is bit-identical
+    across engines; normalization is a presentation-level rescale).
+    Oracle: the two rounds as unrolled CTEs with left-join/coalesce for
+    zero-score nodes."""
+    from importtoneo4j_spark.operators.graph import hits
+
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    out = hits(edges, iters=2)
+    return out.select(
+        "entity_id",
+        F.col("auth").cast("long").alias("auth"),
+        F.col("hub").cast("long").alias("hub"),
+    )
+
+
+def _sql_g10() -> str:
+    return """
+    WITH base AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                      'S' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey < 300
+    ), nodes AS (
+      SELECT src AS id FROM base UNION SELECT dst FROM base
+    ), a1 AS (
+      SELECT n.id, coalesce(s.a, 0) AS a FROM nodes n
+      LEFT JOIN (SELECT dst AS id, count(*) AS a FROM base GROUP BY 1) s
+        USING (id)
+    ), h1 AS (
+      SELECT n.id, coalesce(s.h, 0) AS h FROM nodes n
+      LEFT JOIN (SELECT base.src AS id, sum(a1.a) AS h
+                 FROM base JOIN a1 ON base.dst = a1.id GROUP BY 1) s
+        USING (id)
+    ), a2 AS (
+      SELECT n.id, coalesce(s.a, 0) AS a FROM nodes n
+      LEFT JOIN (SELECT base.dst AS id, sum(h1.h) AS a
+                 FROM base JOIN h1 ON base.src = h1.id GROUP BY 1) s
+        USING (id)
+    ), h2 AS (
+      SELECT n.id, coalesce(s.h, 0) AS h FROM nodes n
+      LEFT JOIN (SELECT base.src AS id, sum(a2.a) AS h
+                 FROM base JOIN a2 ON base.dst = a2.id GROUP BY 1) s
+        USING (id)
+    )
+    SELECT a2.id AS entity_id, CAST(a2.a AS BIGINT) AS auth,
+           CAST(h2.h AS BIGINT) AS hub
+    FROM a2 JOIN h2 ON a2.id = h2.id
+    """
+
+
 def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two rounds of deterministic synchronous label propagation over the
     undirected customer/supplier/part graph (operators/graph.py::
@@ -2784,6 +2884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_weighted_sssp": g7_weighted_sssp,
         "g8_link_prediction": g8_link_prediction,
         "g9_kcore": g9_kcore,
+        "g10_hits": g10_hits,
+        "text_unigram_logprob": text_unigram_logprob,
         "kg_flagship": kg_flagship,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_unshipped_revenue": q3_unshipped_revenue,
@@ -2910,4 +3012,6 @@ def oracle_sql() -> dict[str, str]:
         "g7_weighted_sssp": _sql_g7(),
         "g8_link_prediction": _sql_g8(),
         "g9_kcore": _sql_g9(),
+        "g10_hits": _sql_g10(),
+        "text_unigram_logprob": _sql_text_unigram_logprob(),
     }

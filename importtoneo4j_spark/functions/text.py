@@ -190,6 +190,43 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def unigram_logprob(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document average unigram log-likelihood under the corpus's OWN
+    unigram distribution (round 5) — the model-free fluency/outlier
+    signal a training pipeline runs before it can afford a real LM:
+    score(doc) = avg over tokens of ln(count(token) / total_tokens).
+    Documents full of corpus-rare tokens (boilerplate noise, wrong
+    language, mojibake) score far below the mode; OOV is impossible by
+    construction (every token is in its own corpus). Returns
+    (id, n_tokens, logprob).
+
+    Scale shape: tokenize+explode (map-side), ONE groupBy(term) for the
+    frequency table, one shuffle join of tokens with frequencies on term
+    (the corpus-sized join — AQE handles the skew of stopword terms),
+    one partial-aggregating groupBy(doc). The 1-row total broadcasts."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log(F.col("cnt") / F.col("total"))).alias("logprob"),
+        )
+    )
+
+
 def tf_idf(
     docs,
     id_col: str = "doc_id",

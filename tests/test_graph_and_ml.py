@@ -793,6 +793,28 @@ def test_shortest_paths_hand_graph(spark):
         shortest_paths(edges, spark.createDataFrame([(1,)], "x int"))
 
 
+def test_hits_hand_graph(spark):
+    """Unnormalized HITS on a hand bipartite-ish graph: hub_0=1, one round
+    gives auth = in-degree, hub = sum of neighbour auths; scores stay
+    exact integers."""
+    from importtoneo4j_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("a1", "h2")],
+        "subj string, obj string",
+    )
+    one = {r["entity_id"]: (r["auth"], r["hub"]) for r in hits(edges, iters=1).collect()}
+    # auth_1 = in-degree: a1<-h1,h2 =2; a2<-h1 =1; h2<-a1 =1; h1 =0
+    # hub_1(u) = sum auth_1 over out-nbrs: h1->a1,a2 =3; h2->a1 =2; a1->h2 =1; a2=0
+    assert one == {"h1": (0, 3), "h2": (1, 2), "a1": (2, 1), "a2": (1, 0)}
+    two = {r["entity_id"]: (r["auth"], r["hub"]) for r in hits(edges, iters=2).collect()}
+    # auth_2(v) = sum hub_1 over in-nbrs: a1: h1+h2=5; a2: h1=3; h2: a1=1; h1: 0
+    # hub_2(u) = sum auth_2 over out-nbrs: h1: 5+3=8; h2: 5; a1: 1; a2: 0
+    assert two == {"h1": (0, 8), "h2": (1, 5), "a1": (5, 1), "a2": (3, 0)}
+    with pytest.raises(ValueError, match="iters"):
+        hits(edges, iters=0)
+
+
 def test_k_core_peeling(spark):
     """Hand graph: a triangle plus a pendant chain under k=2 — round 1
     removes the chain tip, round 2 the now-degree-1 middle, leaving the
