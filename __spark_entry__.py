@@ -2886,6 +2886,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_kcore": g9_kcore,
         "g10_hits": g10_hits,
         "text_unigram_logprob": text_unigram_logprob,
+        "u5_intersect_except": u5_intersect_except,
+        "c13_json_extract": c13_json_extract,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
+        "contamination_check": contamination_check,
+        "g5_bfs_distances": g5_bfs_distances,
+        "g6_label_propagation": g6_label_propagation,
         "kg_flagship": kg_flagship,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_unshipped_revenue": q3_unshipped_revenue,
@@ -2908,8 +2916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_asof_join": t3_asof_join,
         "t4_tumbling_window": t4_tumbling_window,
         "t5_hopping_window": t5_hopping_window,
-        "g5_bfs_distances": g5_bfs_distances,
-        "g6_label_propagation": g6_label_propagation,
         "t6_interval_join": t6_interval_join,
         "s10_hash_split": s10_hash_split,
         "txt_tfidf_top_terms": txt_tfidf_top_terms,
@@ -2918,23 +2924,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_anti_join_delta": u2_anti_join_delta,
         "u3_union_branches": u3_union_branches,
         "u4_unpivot": u4_unpivot,
-        "u5_intersect_except": u5_intersect_except,
         "c14_regexp_extract_all": c14_regexp_extract_all,
         "c15_array_hof": c15_array_hof,
         "w1_stable_order_topk": w1_stable_order_topk,
         "w2_sessionize": w2_sessionize,
         "w3_moving_avg": w3_moving_avg,
         "c12_edit_distance": c12_edit_distance,
-        "c13_json_extract": c13_json_extract,
         "text_token_stats": text_token_stats,
         "text_bpe_tokens": text_bpe_tokens,
         "text_quality_score": text_quality_score,
         "text_fingerprint": text_fingerprint,
         "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_clusters": dedup_clusters,
-        "contamination_check": contamination_check,
         "contamination_exact": contamination_exact,
     }
 
