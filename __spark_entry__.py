@@ -1087,8 +1087,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average unigram log-likelihood under the corpus's own
     unigram distribution (functions/text.py::unigram_logprob — the
     model-free fluency/outlier filter; corpus-rare-token documents score
-    low). Exact count ratios, one ln per distinct (doc, term) pairing;
-    rounded to 4."""
+    low). Exact count ratios; tokens collapse to (doc, term, tf) before
+    the term join, so one ln per DISTINCT pairing and a tf-weighted mean
+    (code-review round 5 — the avg-over-occurrences form shipped one join
+    row per token); rounded to 4."""
     from importtoneo4j_spark.functions.text import unigram_logprob
 
     d = _load(spark, sf_dir, "documents")["documents"]
@@ -1108,15 +1110,18 @@ def _sql_text_unigram_logprob() -> str:
       FROM documents
     ), t2 AS (
       SELECT doc_id, term FROM toks WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term
     ), freq AS (
-      SELECT term, count(*) AS cnt FROM t2 GROUP BY term
+      SELECT term, sum(tf) AS cnt FROM tf GROUP BY term
     ), tot AS (
       SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq
     )
-    SELECT t2.doc_id, count(*) AS n_tokens,
-           round(avg(ln(freq.cnt / tot.total)), 4) AS logprob
-    FROM t2 JOIN freq USING (term), tot
-    GROUP BY t2.doc_id
+    SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * ln(freq.cnt / tot.total)) / sum(tf.tf), 4)
+             AS logprob
+    FROM tf JOIN freq USING (term), tot
+    GROUP BY tf.doc_id
     """
 
 
@@ -2230,13 +2235,21 @@ def g8_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     out = link_prediction_common_neighbors(edges, min_common=2)
+    # the gate's jaccard is an INTEGER-division-scaled rational instead of
+    # round(double, 4): Spark rounds the shortest-decimal repr (BigDecimal
+    # HALF_UP) while DuckDB rounds the binary-scaled value, and
+    # exactly-half ratios like 278/1600 split between 0.1737 and 0.1738 —
+    # (n_common * 10000) div n_union is bit-identical in both engines for
+    # any degree (code-review round 5, empirically probed divergence)
+    scaled = F.expr("(n_common * 10000) div n_union")
     return (
         out.filter(F.col("a").startswith("C"))
         .select(
             "a",
             "b",
             F.col("n_common").cast("long").alias("n_common"),
-            F.round("jaccard", 4).alias("jaccard"),
+            F.col("n_union").cast("long").alias("n_union"),
+            (scaled.cast("double") / 10000.0).alias("jaccard"),
         )
     )
 
@@ -2259,7 +2272,9 @@ def _sql_g8() -> str:
       HAVING count(*) >= 2
     )
     SELECT cand.a, cand.b, CAST(n_common AS BIGINT) AS n_common,
-           round(n_common * 1.0 / (da.deg + db.deg - n_common), 4) AS jaccard
+           CAST(da.deg + db.deg - n_common AS BIGINT) AS n_union,
+           ((n_common * 10000) // (da.deg + db.deg - n_common)) / 10000.0
+             AS jaccard
     FROM cand
     JOIN deg da ON cand.a = da.u
     JOIN deg db ON cand.b = db.u

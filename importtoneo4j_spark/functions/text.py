@@ -204,25 +204,33 @@ def unigram_logprob(
     construction (every token is in its own corpus). Returns
     (id, n_tokens, logprob).
 
-    Scale shape: tokenize+explode (map-side), ONE groupBy(term) for the
-    frequency table, one shuffle join of tokens with frequencies on term
-    (the corpus-sized join — AQE handles the skew of stopword terms),
-    one partial-aggregating groupBy(doc). The 1-row total broadcasts."""
+    Scale shape: tokenize+explode (map-side) -> ONE partial-aggregating
+    groupBy(doc, term) collapses repeated tokens to (doc, term, tf)
+    BEFORE anything shuffles on term, so the term join and every ln
+    evaluation run once per DISTINCT (doc, term) pairing, not once per
+    token occurrence (a doc repeating one token 10^4 times contributes
+    one join row); the frequency table is a second partial aggregate over
+    the same frame, and the final doc score is the tf-weighted mean. The
+    1-row total broadcasts."""
     from pyspark.sql import functions as F
 
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
-    freq = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     tot = freq.agg(F.sum("cnt").cast("double").alias("total"))
     return (
-        toks.join(freq, "term")
+        tf.join(freq, "term")
         .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.avg(F.log(F.col("cnt") / F.col("total"))).alias("logprob"),
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("cnt") / F.col("total")))
+                / F.sum("tf")
+            ).alias("logprob"),
         )
     )
 

@@ -214,6 +214,18 @@ class GraphView:
 
 # ------------------------------------------------------- iterative analytics
 
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetric distinct (u, v) view of a directed edge set: forward union
+    reverse, self-loops dropped — the shared symmetrization under
+    label_propagation, k_core and link prediction (one definition so a
+    future change cannot silently diverge their graph semantics)."""
+    return (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
@@ -385,14 +397,7 @@ def label_propagation(
     discipline)."""
     from importtoneo4j_spark.session import stage_persist, stage_unpersist
 
-    und = stage_persist(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    und = stage_persist(_undirected(edges, src, dst))
     try:
         labels = (
             und.select(F.col("u").alias("id")).distinct().select(
@@ -572,10 +577,12 @@ def hits(
     finally:
         stage_unpersist(e)
         # the returned frame was checkpointed above; the per-round vectors
-        # it was built from can go too
+        # it was built from can go too. hub is ALWAYS a checkpoint this
+        # function owns (hub_0 included — a first-iteration failure must
+        # not pin it, code-review round 5); auth only exists after round 1
+        stage_unpersist(hub)
         if auth is not None:
             stage_unpersist(auth)
-            stage_unpersist(hub)
 
 
 def k_core(
@@ -602,12 +609,7 @@ def k_core(
     (the round-5 unpersist discipline)."""
     from importtoneo4j_spark.session import stage_persist, stage_unpersist
 
-    e = stage_persist(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    e = stage_persist(_undirected(edges, src, dst))
     try:
         for _ in range(rounds):
             keep = (
@@ -657,12 +659,7 @@ def link_prediction_common_neighbors(
     celebrity node proposes everyone to everyone and carries no signal).
     Dropped hubs still count toward their neighbours' degrees, keeping
     the Jaccard denominators honest."""
-    und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    und = _undirected(edges, src, dst)
     deg = und.groupBy("u").agg(F.count("*").alias("deg"))
     wedge_src = und
     if max_degree is not None:
@@ -692,6 +689,11 @@ def link_prediction_common_neighbors(
             "a",
             "b",
             "n_common",
+            # exact integer union size alongside the double score: rounding
+            # a small-rational double differs between engines at exact
+            # halves, so cross-engine consumers derive their display score
+            # from (n_common, n_union) instead of re-rounding jaccard
+            (F.col("da") + F.col("db") - F.col("n_common")).alias("n_union"),
             (
                 F.col("n_common")
                 / (F.col("da") + F.col("db") - F.col("n_common"))

@@ -724,6 +724,7 @@ def test_iterative_analytics_release_persisted_state(spark):
     returned frame, and stage_unpersist(result) releases that too."""
     from importtoneo4j_spark.operators.graph import (
         bfs_distances,
+        hits,
         k_core,
         label_propagation,
         pagerank,
@@ -748,6 +749,7 @@ def test_iterative_analytics_release_persisted_state(spark):
         lambda: label_propagation(edges, iters=2),
         lambda: shortest_paths(wedges, srcs, max_iters=3),
         lambda: k_core(edges, k=2, rounds=2),
+        lambda: hits(edges, iters=2),
     ):
         for _ in range(2):
             # re-measure per call: the async ContextCleaner may reclaim
@@ -849,7 +851,7 @@ def test_link_prediction_common_neighbors(spark):
         "subj string, obj string",
     )
     got = {
-        (r["a"], r["b"]): (r["n_common"], round(r["jaccard"], 4))
+        (r["a"], r["b"]): (r["n_common"], r["n_union"], round(r["jaccard"], 4))
         for r in link_prediction_common_neighbors(edges, min_common=2).collect()
     }
     # a: deg 3 (n1,n2,b2); b: deg 2 (n1,n2); common 2 -> jac 2/(3+2-2).
@@ -857,8 +859,8 @@ def test_link_prediction_common_neighbors(spark):
     # (deg n1=4, n2=2 -> jac 2/4). c,d are adjacent -> excluded; every
     # other pair shares < 2 neighbours.
     assert got == {
-        ("a", "b"): (2, round(2 / 3, 4)),
-        ("n1", "n2"): (2, 0.5),
+        ("a", "b"): (2, 3, round(2 / 3, 4)),
+        ("n1", "n2"): (2, 4, 0.5),
     }
 
     # hub cap: make n1 a hub (degree cap 3 drops wedges through it)
