@@ -848,7 +848,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _load(spark, sf_dir, "documents")["documents"]
     out = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5, max_df=64)
-    return out.select("a_id", "b_id", F.round("jac", 4).alias("jac"))
+    # exact integer set sizes + integer-division-scaled score: round(double,
+    # 4) splits between engines on exactly-half small rationals (the g8
+    # finding, applied to the whole jaccard gate family in round 5)
+    return out.select(
+        "a_id",
+        "b_id",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        (F.expr("(n_inter * 10000) div n_union").cast("double") / 10000.0).alias("jac"),
+    )
 
 
 def _sql_dedup_ngram(max_df: int = 64) -> str:
@@ -876,8 +885,9 @@ def _sql_dedup_ngram(max_df: int = 64) -> str:
       JOIN inv b ON b.doc_id = c.b_id AND a.sg = b.sg
       GROUP BY 1, 2, 3, 4
     )
-    SELECT a_id, b_id,
-           round(common * 1.0 / (na + nb - common), 4) AS jac
+    SELECT a_id, b_id, CAST(common AS BIGINT) AS n_inter,
+           CAST(na + nb - common AS BIGINT) AS n_union,
+           ((common * 10000) // (na + nb - common)) / 10000.0 AS jac
     FROM pairs
     WHERE common * 1.0 / (na + nb - common) >= 0.5
     """
@@ -893,7 +903,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = minhash_near_dups(
         d, "doc_id", "text", n=5, num_perm=16, bands=8, rows_per_band=2, threshold=0.5
     )
-    return out.select("a_id", "b_id", F.round("jac", 4).alias("jac"))
+    # integer-division-scaled score (see dedup_ngram_jaccard)
+    return out.select(
+        "a_id",
+        "b_id",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        (F.expr("(n_inter * 10000) div n_union").cast("double") / 10000.0).alias("jac"),
+    )
 
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,7 +930,14 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=2,
         threshold=0.5,
     )
-    return out.select("a_id", "b_id", F.round("jac", 4).alias("jac"))
+    # integer-division-scaled score (see dedup_ngram_jaccard)
+    return out.select(
+        "a_id",
+        "b_id",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        (F.expr("(n_inter * 10000) div n_union").cast("double") / 10000.0).alias("jac"),
+    )
 
 
 def _sql_contamination() -> str:
@@ -946,8 +970,10 @@ def _sql_contamination() -> str:
       WHERE a.par = 0 AND b.par = 1
     )
     SELECT a_id, b_id,
-           round(len(list_intersect(sa.s, sb.s)) * 1.0
-                 / len(list_distinct(sa.s || sb.s)), 4) AS jac
+           CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+           CAST(len(list_distinct(sa.s || sb.s)) AS BIGINT) AS n_union,
+           ((len(list_intersect(sa.s, sb.s)) * 10000)
+            // len(list_distinct(sa.s || sb.s))) / 10000.0 AS jac
     FROM cand
     JOIN sh sa ON a_id = sa.doc_id
     JOIN sh sb ON b_id = sb.doc_id
@@ -991,8 +1017,10 @@ def _minhash_pair_ctes() -> str:
         ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ), pairs AS (
       SELECT a_id, b_id,
-             round(len(list_intersect(sa.s, sb.s)) * 1.0
-                   / len(list_distinct(sa.s || sb.s)), 4) AS jac
+             CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+             CAST(len(list_distinct(sa.s || sb.s)) AS BIGINT) AS n_union,
+             ((len(list_intersect(sa.s, sb.s)) * 10000)
+              // len(list_distinct(sa.s || sb.s))) / 10000.0 AS jac
       FROM cand
       JOIN sh sa ON a_id = sa.doc_id
       JOIN sh sb ON b_id = sb.doc_id
@@ -1004,7 +1032,7 @@ def _minhash_pair_ctes() -> str:
 def _sql_dedup_minhash() -> str:
     return f"""
     WITH {_minhash_pair_ctes()}
-    SELECT a_id, b_id, jac FROM pairs
+    SELECT a_id, b_id, n_inter, n_union, jac FROM pairs
     """
 
 

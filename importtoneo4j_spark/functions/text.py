@@ -190,6 +190,20 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def jaccard_counts(a: Column, b: Column) -> tuple[Column, Column]:
+    """(|intersection|, |union|) of two arrays as exact integers — for
+    consumers that must re-derive a cross-engine-stable display score:
+    round(double, 4) on a small rational splits between engines at
+    exactly-half shortest-decimal reprs (Spark rounds the decimal string
+    HALF_UP, DuckDB the binary value — 278/1600 lands on 0.1738 vs
+    0.1737), while (inter * 10000) div union is bit-identical everywhere
+    (code-review round 5)."""
+    return (
+        F.size(F.array_intersect(a, b)).cast("long"),
+        F.size(F.array_union(a, b)).cast("long"),
+    )
+
+
 def unigram_logprob(
     docs,
     id_col: str = "doc_id",

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from importtoneo4j_spark.functions.text import jaccard, minhash_bands_agg
+from importtoneo4j_spark.functions.text import (
+    jaccard,
+    jaccard_counts,
+    minhash_bands_agg,
+)
 from importtoneo4j_spark.operators.link import drop_hot_buckets
 from importtoneo4j_spark.session import stage_persist
 
@@ -103,21 +107,47 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
         .distinct()
     )
-    return (
+    return _verify_pairs(cand, toks, toks, n, threshold)
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    toks_a: DataFrame,
+    toks_b: DataFrame,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a_id, b_id) pairs against
+    token frames -> (a_id, b_id, n_inter, n_union, jac). The integer set
+    sizes ride along (functions.text.jaccard_counts) so gates can derive
+    a cross-engine-stable display score by integer division instead of
+    rounding the small-rational double."""
+    pairs = (
         cand.join(
-            toks.select(F.col("doc").alias("a_id"), F.col("toks").alias("ta")), "a_id"
+            toks_a.select(F.col("doc").alias("a_id"), F.col("toks").alias("ta")),
+            "a_id",
         )
         .join(
-            toks.select(F.col("doc").alias("b_id"), F.col("toks").alias("tb")), "b_id"
+            toks_b.select(F.col("doc").alias("b_id"), F.col("toks").alias("tb")),
+            "b_id",
         )
-        .withColumn(
-            "jac",
-            jaccard(
-                ngrams_from_tokens(F.col("ta"), n), ngrams_from_tokens(F.col("tb"), n)
-            ),
+        .select(
+            "a_id",
+            "b_id",
+            ngrams_from_tokens(F.col("ta"), n).alias("sa"),
+            ngrams_from_tokens(F.col("tb"), n).alias("sb"),
+        )
+    )
+    n_inter, n_union = jaccard_counts(F.col("sa"), F.col("sb"))
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            n_inter.alias("n_inter"),
+            n_union.alias("n_union"),
+            jaccard(F.col("sa"), F.col("sb")).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
-        .select("a_id", "b_id", "jac")
     )
 
 
@@ -157,22 +187,7 @@ def minhash_near_dups(
         .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
         .distinct()
     )
-    return (
-        cand.join(
-            toks.select(F.col("doc").alias("a_id"), F.col("toks").alias("ta")), "a_id"
-        )
-        .join(
-            toks.select(F.col("doc").alias("b_id"), F.col("toks").alias("tb")), "b_id"
-        )
-        .withColumn(
-            "jac",
-            jaccard(
-                ngrams_from_tokens(F.col("ta"), n), ngrams_from_tokens(F.col("tb"), n)
-            ),
-        )
-        .filter(F.col("jac") >= threshold)
-        .select("a_id", "b_id", "jac")
-    )
+    return _verify_pairs(cand, toks, toks, n, threshold)
 
 
 def cross_corpus_overlap(
@@ -214,22 +229,7 @@ def cross_corpus_overlap(
         .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
         .distinct()
     )
-    return (
-        cand.join(
-            ta.select(F.col("doc").alias("a_id"), F.col("toks").alias("ka")), "a_id"
-        )
-        .join(
-            tb.select(F.col("doc").alias("b_id"), F.col("toks").alias("kb")), "b_id"
-        )
-        .withColumn(
-            "jac",
-            jaccard(
-                ngrams_from_tokens(F.col("ka"), n), ngrams_from_tokens(F.col("kb"), n)
-            ),
-        )
-        .filter(F.col("jac") >= threshold)
-        .select("a_id", "b_id", "jac")
-    )
+    return _verify_pairs(cand, ta, tb, n, threshold)
 
 
 def dedup_clusters(
