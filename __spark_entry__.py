@@ -1111,6 +1111,72 @@ def _sql_contamination_exact(n: int = 13, max_df: int = 1000) -> str:
     """
 
 
+def o5_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values (functions/stats.py::
+    equi_width_histogram — min/max-derived bins, map-side assignment, one
+    tiny groupBy shuffle; the distribution-profiling primitive). Bin
+    edges derive from identical min/max doubles in both engines; rounded
+    to 4 for display."""
+    from importtoneo4j_spark.functions.stats import equi_width_histogram
+
+    e = _load(spark, sf_dir, "events")["events"]
+    out = equi_width_histogram(e, "value", bins=20)
+    return out.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _sql_o5(bins: int = 20) -> str:
+    return f"""
+    WITH src AS (
+      SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL
+    ), bounds AS (
+      SELECT min(x) AS lo, max(x) AS hi FROM src
+    ), binned AS (
+      SELECT least(CASE WHEN hi > lo
+                        THEN CAST(floor((x - lo) / ((hi - lo) / {bins}))
+                                  AS BIGINT)
+                        ELSE 0 END, {bins - 1}) AS bin,
+             lo AS t_lo, hi AS t_hi
+      FROM src, bounds
+    )
+    SELECT bin, round(t_lo + bin * (t_hi - t_lo) / {bins}, 4) AS lo,
+           round(t_lo + (bin + 1) * (t_hi - t_lo) / {bins}, 4) AS hi,
+           count(*) AS n
+    FROM binned GROUP BY bin, t_lo, t_hi
+    """
+
+
+def o6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile over orders (functions/stats.py::
+    profile_table — a single wide aggregate, exact distincts, min/max as
+    strings): the first query a pipeline runs against an unfamiliar
+    table."""
+    from importtoneo4j_spark.functions.stats import profile_table
+
+    o = _load(spark, sf_dir, "orders")["orders"]
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
+def _sql_o6() -> str:
+    parts = []
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]:
+        parts.append(f"""
+      SELECT '{c}' AS column, count(*) AS n_rows,
+             CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             CAST(min({c}) AS VARCHAR) AS min_str,
+             CAST(max({c}) AS VARCHAR) AS max_str
+      FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average unigram log-likelihood under the corpus's own
     unigram distribution (functions/text.py::unigram_logprob — the
@@ -2929,6 +2995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_kcore": g9_kcore,
         "g10_hits": g10_hits,
         "text_unigram_logprob": text_unigram_logprob,
+        "o5_histogram": o5_histogram,
+        "o6_profile": o6_profile,
         "u5_intersect_except": u5_intersect_except,
         "c13_json_extract": c13_json_extract,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3057,4 +3125,6 @@ def oracle_sql() -> dict[str, str]:
         "g9_kcore": _sql_g9(),
         "g10_hits": _sql_g10(),
         "text_unigram_logprob": _sql_text_unigram_logprob(),
+        "o5_histogram": _sql_o5(),
+        "o6_profile": _sql_o6(),
     }

@@ -56,3 +56,94 @@ def group_percentiles(
             expr = F.round(expr, round_to)
         aggs.append(expr.alias(_col_name(p)))
     return df.groupBy(*by).agg(*aggs)
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column -> (bin, lo, hi, n)
+    (round 5) — the distribution-profiling primitive a pipeline runs
+    before choosing filters/thresholds. ``lo``/``hi`` default to the
+    column min/max (one extra aggregate, broadcast as a 1-row frame so
+    the bin assignment stays a map-side expression — no driver collect);
+    the top edge is inclusive (the max lands in the last bin, the
+    standard closed-right convention). Empty bins are absent (count them
+    via a range join if a dense axis is needed).
+
+    Scale shape: one partial-aggregating groupBy(bin) over a pure
+    expression — a single shuffle of at most ``bins`` rows per task."""
+    src = df.select(F.col(value_col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    if lo is None or hi is None:
+        bounds = src.agg(
+            F.min("x").alias("_lo"), F.max("x").alias("_hi")
+        )
+        src = src.crossJoin(F.broadcast(bounds))
+    else:
+        src = src.withColumn("_lo", F.lit(float(lo))).withColumn(
+            "_hi", F.lit(float(hi))
+        )
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    raw = F.when(
+        width > 0, F.floor((F.col("x") - F.col("_lo")) / width)
+    ).otherwise(F.lit(0))
+    bin_ = F.least(raw, F.lit(bins - 1)).cast("long")  # closed-right top edge
+    return (
+        src.select(bin_.alias("bin"), "_lo", "_hi")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+        )
+        .select(
+            "bin",
+            (F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo")) / bins)
+            .alias("lo"),
+            (F.col("_lo") + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / bins)
+            .alias("hi"),
+            "n",
+        )
+    )
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """One-pass per-column data profile -> (column, n_rows, n_null,
+    n_distinct, min_str, max_str) (round 5) — the first thing a pipeline
+    runs against an unfamiliar table. Exact distincts (count_distinct,
+    not the HLL approximation) so the result is oracle-checkable;
+    min/max are compared on the column's native type, then rendered as
+    strings so heterogeneous columns stack into one frame.
+
+    Scale shape: a single wide aggregate (one reduce to 1 row — every
+    counter partial-aggregates map-side), then a literal-driven unpivot;
+    no per-column scans. Exact distinct on a high-cardinality column
+    shuffles its dedup — swap in approx_count_distinct for profiling-only
+    use at extreme scale (documented tradeoff)."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = None
+    for c in cols:
+        row = one.select(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_null"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_str"),
+            F.col(f"_max_{c}").alias("max_str"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

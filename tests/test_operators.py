@@ -405,6 +405,54 @@ def test_group_percentiles_exact_vs_approx(spark):
     assert _col_name(0.95) == "p95"
 
 
+def test_equi_width_histogram_edges(spark):
+    """Closed-right top edge (max lands in the last bin), explicit bounds,
+    constant column (width 0 -> everything in bin 0), nulls dropped."""
+    from importtoneo4j_spark.functions.stats import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (7.5,), (10.0,), (None,)], "v double"
+    )
+    got = {
+        r["bin"]: (r["lo"], r["hi"], r["n"])
+        for r in equi_width_histogram(df, "v", bins=4).collect()
+    }
+    # width 2.5: 0->b0, 2.5->b1, 5->b2, 7.5->b3, 10 (max) -> clamped b3
+    assert got == {
+        0: (0.0, 2.5, 1),
+        1: (2.5, 5.0, 1),
+        2: (5.0, 7.5, 1),
+        3: (7.5, 10.0, 2),
+    }
+    const = spark.createDataFrame([(3.0,), (3.0,)], "v double")
+    cg = equi_width_histogram(const, "v", bins=4).collect()
+    assert len(cg) == 1 and cg[0]["bin"] == 0 and cg[0]["n"] == 2
+    fixed = {
+        r["bin"]: r["n"]
+        for r in equi_width_histogram(df, "v", bins=2, lo=0.0, hi=20.0).collect()
+    }
+    assert fixed == {0: 4, 1: 1}
+
+
+def test_profile_table(spark):
+    """Per-column profile: exact nulls/distincts, min/max as strings, one
+    row per requested column."""
+    from importtoneo4j_spark.functions.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+        "k int, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    assert (got["k"]["n_null"], got["k"]["n_distinct"]) == (0, 2)
+    assert (got["s"]["n_null"], got["s"]["n_distinct"]) == (1, 2)
+    assert (got["v"]["min_str"], got["v"]["max_str"]) == ("5.0", "7.5")
+    assert all(r["n_rows"] == 3 for r in got.values())
+    sub = profile_table(df, ["k"]).collect()
+    assert len(sub) == 1 and sub[0]["column"] == "k"
+
+
 def test_point_in_interval_join_semantics(spark):
     """Bin-equi-join containment == the naive inequality join: half-open
     [start, end), intervals crossing bin boundaries, multi-interval
