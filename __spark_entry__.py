@@ -2061,6 +2061,88 @@ def _sql_g3(iters: int = 3, damping: float = 0.85) -> str:
     """
 
 
+def g11_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from two supplier seeds over the same
+    customer/supplier/part graph as g3 (operators/graph.py::
+    personalized_pagerank — teleport mass restricted to the seed set; the
+    seed-relatedness query). Oracle: three unrolled CTEs with the
+    (1-d)*p(v) teleport term; zero-rank nodes are part of the result (the
+    frame is total over vertices, like g3)."""
+    from importtoneo4j_spark.operators.graph import personalized_pagerank
+
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    ordered = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    supplies = (
+        t["lineitem"]
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("subj"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    fwd = ordered.unionByName(supplies)
+    und = fwd.unionByName(
+        fwd.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    )
+    srcs = spark.createDataFrame([("S1",), ("S2",)], "id string")
+    out = personalized_pagerank(und, srcs, iters=3)
+    return out.select("entity_id", F.round(F.col("rank") * 1000, 4).alias("rank_pm"))
+
+
+def _sql_g11(iters: int = 3, damping: float = 0.85) -> str:
+    prev = "r0"
+    iter_ctes = []
+    for k in range(1, iters + 1):
+        iter_ctes.append(
+            f"""r{k} AS (
+      SELECT nd.id, nd.p,
+             {1 - damping}*nd.p + {damping}*COALESCE(c.inflow, 0) AS rank
+      FROM p nd LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.rank/o.odeg) AS inflow
+        FROM e JOIN {prev} r ON e.src = r.id
+               JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst) c USING (id)
+    )"""
+        )
+        prev = f"r{k}"
+    chain = ", ".join(iter_ctes)
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                      'P' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR),
+                      'P' || CAST(l_partkey AS VARCHAR)
+      FROM lineitem
+    ), e AS (
+      SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), s(id) AS (VALUES ('S1'), ('S2')), smeta AS (
+      SELECT CAST(count(*) AS DOUBLE) AS ns FROM s
+    ), p AS (
+      SELECT nodes.id,
+             CASE WHEN s.id IS NOT NULL
+                  THEN 1.0/(SELECT ns FROM smeta) ELSE 0.0 END AS p
+      FROM nodes LEFT JOIN s ON nodes.id = s.id
+    ), outdeg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT id, p, p AS rank FROM p
+    ), {chain}
+    SELECT id AS entity_id, round(rank * 1000, 4) AS rank_pm FROM {prev}
+    """
+
+
 def g4_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count of the part co-purchase graph (parts sharing
     an order). The Spark plan uses the degree-ordered orientation
@@ -2997,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": text_unigram_logprob,
         "o5_histogram": o5_histogram,
         "o6_profile": o6_profile,
+        "g11_personalized_pagerank": g11_personalized_pagerank,
         "u5_intersect_except": u5_intersect_except,
         "c13_json_extract": c13_json_extract,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3127,4 +3210,5 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logprob": _sql_text_unigram_logprob(),
         "o5_histogram": _sql_o5(),
         "o6_profile": _sql_o6(),
+        "g11_personalized_pagerank": _sql_g11(),
     }

@@ -305,6 +305,90 @@ def pagerank(
         stage_unpersist(weighted)
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "subj",
+    dst: str = "obj",
+    id_col: str = "id",
+) -> DataFrame:
+    """Personalized PageRank (round 5): teleport mass restricted to a seed
+    set — rank_{k+1}(v) = (1-d) * p(v) + d * sum_{(u,v)} rank_k(u) /
+    outdeg(u), with p uniform over ``sources`` and zero elsewhere. THE
+    seed-set relatedness query over a KG ("which entities matter from
+    these starting points"), complementing global pagerank's corpus-wide
+    importance. Same deterministic conventions as pagerank: fixed
+    iterations, dangling mass not redistributed, oracle = unrolled CTEs.
+
+    Kept as a SEPARATE function rather than a pagerank parameter on
+    purpose: the global gate's arithmetic ((1-d)/n) must stay
+    bit-identical to its long-green oracle, and sharing the loop would
+    rewrite it as (1-d)*p — same value mathematically, different
+    last-ulp floats.
+
+    Scale shape per iteration: identical to pagerank — one equi-join +
+    one partial-aggregating groupBy; the teleport vector rides the rank
+    frame; checkpoint-and-release discipline throughout."""
+    from importtoneo4j_spark.session import stage_persist, stage_unpersist
+
+    if id_col not in sources.columns:
+        raise ValueError(
+            f"sources is missing id column {id_col!r} (columns: {sources.columns})"
+        )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    s = sources.select(F.col(id_col).alias("id")).distinct()
+    smeta = s.agg(F.count("*").cast("double").alias("ns"))
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("odeg"))
+    ranks = (
+        nodes.join(s.select("id", F.lit(1).alias("_s")), "id", "left")
+        .crossJoin(F.broadcast(smeta))
+        .select(
+            "id",
+            F.when(F.col("_s") == 1, F.lit(1.0) / F.col("ns"))
+            .otherwise(F.lit(0.0))
+            .alias("p"),
+        )
+        .select("id", "p", F.col("p").alias("rank"))
+    )
+    seed = ranks  # lazy, over the caller's frames — never released here
+    weighted = stage_persist(e.join(outdeg, "src"))
+    try:
+        for _ in range(iters):
+            inflow = (
+                weighted.join(
+                    ranks.select(F.col("id").alias("src"), "rank"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") / F.col("odeg")).alias("inflow"))
+            )
+            prev = ranks
+            ranks = (
+                ranks.select("id", "p")
+                .join(inflow, "id", "left")
+                .select(
+                    "id",
+                    "p",
+                    (
+                        F.lit(1.0 - damping) * F.col("p")
+                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+            if prev is not seed:
+                stage_unpersist(prev)
+        return ranks.select(F.col("id").alias("entity_id"), "rank")
+    finally:
+        stage_unpersist(weighted)
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,

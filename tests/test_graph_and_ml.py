@@ -795,6 +795,26 @@ def test_shortest_paths_hand_graph(spark):
         shortest_paths(edges, spark.createDataFrame([(1,)], "x int"))
 
 
+def test_personalized_pagerank_hand_graph(spark):
+    """Teleport mass restricted to the seed: unreachable components score
+    exactly zero, the seed keeps the (1-d)*p floor, and one relaxation on
+    a single edge is hand-checkable."""
+    from importtoneo4j_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("s", "t"), ("x", "y")], "subj string, obj string"
+    )
+    srcs = spark.createDataFrame([("s",)], "id string")
+    got = {
+        r["entity_id"]: round(r["rank"], 6)
+        for r in personalized_pagerank(edges, srcs, iters=1).collect()
+    }
+    # p = {s: 1.0}; r1(s) = 0.15*1, r1(t) = 0.85 * (1/1), x,y untouched = 0
+    assert got == {"s": 0.15, "t": 0.85, "x": 0.0, "y": 0.0}
+    with pytest.raises(ValueError, match="id column"):
+        personalized_pagerank(edges, spark.createDataFrame([(1,)], "k int"))
+
+
 def test_hits_hand_graph(spark):
     """Unnormalized HITS on a hand bipartite-ish graph: hub_0=1, one round
     gives auth = in-degree, hub = sum of neighbour auths; scores stay
