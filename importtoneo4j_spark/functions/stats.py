@@ -120,30 +120,30 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
     min/max are compared on the column's native type, then rendered as
     strings so heterogeneous columns stack into one frame.
 
-    Scale shape: a single wide aggregate (one reduce to 1 row — every
-    counter partial-aggregates map-side), then a literal-driven unpivot;
-    no per-column scans. Exact distinct on a high-cardinality column
-    shuffles its dedup — swap in approx_count_distinct for profiling-only
-    use at extreme scale (documented tradeoff)."""
+    Scale shape: ONE wide aggregate over ONE scan, unpivoted to rows with
+    stack() — NOT a union of per-column selects, which Catalyst plans as
+    a separate aggregate subtree (and a separate full scan) per column
+    (plan-checked in round 5). The multiple exact count_distincts expand
+    each input row once per distinct aggregate before the shuffle (Spark's
+    standard Expand strategy — #columns x the shuffle rows on one scan,
+    still cheaper than #columns scans); swap in approx_count_distinct for
+    profiling-only use at extreme scale (documented tradeoff)."""
     cols = list(columns) if columns is not None else list(df.columns)
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
-            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{i}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{i}"),
         ]
     one = df.agg(*aggs)
-    rows = None
-    for c in cols:
-        row = one.select(
-            F.lit(c).alias("column"),
-            F.col("_n").alias("n_rows"),
-            F.col(f"_null_{c}").alias("n_null"),
-            F.col(f"_dist_{c}").alias("n_distinct"),
-            F.col(f"_min_{c}").alias("min_str"),
-            F.col(f"_max_{c}").alias("max_str"),
-        )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    parts = []
+    for i, c in enumerate(cols):
+        safe = c.replace("'", "\\'")
+        parts += [f"'{safe}'", f"_null_{i}", f"_dist_{i}", f"_min_{i}", f"_max_{i}"]
+    return one.selectExpr(
+        f"stack({len(cols)}, {', '.join(parts)})"
+        " as (column, n_null, n_distinct, min_str, max_str)",
+        "_n as n_rows",
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
