@@ -1285,31 +1285,34 @@ def _sql_text_repetition() -> str:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for a fixed query set — the correctness
     baseline for ANN. Dot/norm in double via zip_with + aggregate (native
-    higher-order functions, no UDF)."""
+    higher-order functions, no UDF).
+
+    Round 6 (guide §2.5 / §1.2): the corpus norm is hoisted out of the
+    5-way crossJoin (it was recomputed once per (query, vector) pair —
+    |Q|x the flops; dot/(nq*ne) is bit-identical to the inline cosine,
+    same fold and operand order), and the single-file embeddings scan is
+    fanned out so the pair scoring uses every core instead of the scan's
+    one partition."""
+    from importtoneo4j_spark.operators.similarity import dot, norm
+    from importtoneo4j_spark.session import fan_out
+
     e = _load(spark, sf_dir, "embeddings")["embeddings"]
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("_nq"),
     )
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    pairs = q.crossJoin(e.select("vec_id", "embedding")).filter(
+    corpus = fan_out(
+        e.select("vec_id", "embedding", norm(F.col("embedding")).alias("_ne"))
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("qid")
     )
     sims = pairs.select(
         "qid",
         "vec_id",
         (
-            dot(F.col("qe"), F.col("embedding"))
-            / (
-                F.sqrt(dot(F.col("qe"), F.col("qe")))
-                * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-            )
+            dot(F.col("qe"), F.col("embedding")) / (F.col("_nq") * F.col("_ne"))
         ).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())

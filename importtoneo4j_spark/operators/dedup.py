@@ -28,7 +28,7 @@ from importtoneo4j_spark.functions.text import (
     minhash_bands_agg,
 )
 from importtoneo4j_spark.operators.link import drop_hot_buckets
-from importtoneo4j_spark.session import stage_persist
+from importtoneo4j_spark.session import fan_out, stage_persist
 
 
 def _tokens(text_col: Column) -> Column:
@@ -55,10 +55,19 @@ def _token_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     minhash_near_dups' wall at sf0.1. N-grams are recomputed inline where
     needed: streamed map-side into the signature aggregation (consumed
     once — persisting buys nothing), and projected per candidate pair in
-    verification (thousands of rows, not the corpus)."""
+    verification (thousands of rows, not the corpus).
+
+    fan_out before the checkpoint (round 6, guide §2.5): a corpus that
+    arrives as one small parquet file scans as ONE partition, and the
+    checkpoint then pins that layout — tokenize + n-gram + md5 for the
+    whole corpus ran on a single core (measured: 10-25 s of the
+    minhash gate's wall at sf1.0 was this serial stage). At real scale
+    the scan already has >= core-count partitions and fan_out is a no-op."""
     return stage_persist(
-        df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
-            F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("toks")
+        fan_out(
+            df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
+                F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("toks")
+            )
         )
     )
 

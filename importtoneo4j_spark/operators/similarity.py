@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from importtoneo4j_spark.session import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -26,6 +28,16 @@ def dot(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def norm(a: Column) -> Column:
+    """sqrt(dot(a, a)) — hoist this when one side of a cosine is scored
+    against many partners: cosine() recomputes both self-dots per pair, so
+    a row scored against K centroids pays 3K dots where K+2 suffice.
+    ``dot(a, b) / (norm(a) * norm(b))`` is BIT-IDENTICAL to
+    ``cosine(a, b)`` (same fold order, same operand order in the
+    denominator product), so hoisting never moves a rounded score."""
+    return F.sqrt(dot(a, a))
 
 
 def brute_force_topk(
@@ -114,34 +126,63 @@ def kmeans_refine(
     return cents
 
 
+def _centroid_array(cents: DataFrame) -> DataFrame:
+    """Collapse the (centroid_id, ce) table into ONE row holding a sorted
+    array of (cid, ce, nc) structs (nc = precomputed centroid norm).
+    K centroids -> one broadcastable row; array_sort on cid makes the
+    element order deterministic regardless of partitioning."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("ce").alias("ce"),
+                    norm(F.col("ce")).alias("nc"),
+                )
+            )
+        ).alias("_cents")
+    )
+
+
 def _argmax_assign(
     embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(vectors x broadcast centroids) -> (id, bucket, vec): argmax cosine,
-    ties to the lowest centroid id.
+    """(vectors x broadcast centroid ARRAY) -> (id, bucket, vec): argmax
+    cosine, ties to the lowest centroid id.
 
-    Shape matters at scale: a min(struct) aggregate, NOT a window argmax.
-    The window (row_number over partitionBy(id)) shuffles all N*K scored
-    rows and sorts them; min(struct(-sim, centroid_id, ...)) partial-
-    aggregates map-side — each map task collapses its K rows per id before
-    the shuffle, so N*K never crosses the wire. Negating the (always
-    numeric) SIMILARITY rather than the centroid id keeps the tiebreak
-    type-agnostic: min on the struct reaches centroid_id ascending, which
-    orders correctly for string ids too (negating a string id yields NULL —
-    or throws under ANSI). centroid_id is unique per (id, centroid) row, so
-    the comparison never reaches the payload fields: deterministic."""
-    scored = embeddings.select(id_col, vec_col).crossJoin(F.broadcast(cents))
-    best = F.min(
-        F.struct(
-            (-cosine(F.col(vec_col), F.col("ce"))).alias("neg_sim"),
-            F.col("centroid_id").alias("cid"),
-            F.col(vec_col).alias("v"),
+    Shape matters at scale — this is now a pure MAP: the K centroids
+    collapse into one broadcast row carrying an array of (cid, ce, nc)
+    structs, and each vector row picks its bucket with
+    array_min(transform(...)) over that array. Round 5 used
+    crossJoin(K rows) + groupBy(id).agg(min(struct(...))) — which fanned
+    every vector out K times and, because min over a STRUCT falls back to
+    SortAggregate (no hash-agg support for struct buffers), sorted all
+    N*K rows per partition and still paid a full Exchange of the corpus.
+    The plan diff at sf1.0: 2 Exchange + 2 SortAggregate + BNLJ over 16x
+    rows -> 1 BroadcastNestedLoopJoin over N rows, zero Exchange
+    (plans/r06/ann_ivf_topk_{before,after}.txt). Tiebreak semantics are
+    unchanged: array_min compares (neg_sim, cid) lexicographically, the
+    exact prefix the old min(struct(neg_sim, cid, v)) compared (cid is
+    unique, so the old comparison never reached v). neg_sim is
+    bit-identical (see ``norm``), so every assignment is identical.
+    fan_out rescues the one-small-parquet-file scan (guide §2.5); at
+    scale it is a no-op."""
+    carr = _centroid_array(cents)
+    scored = fan_out(embeddings.select(id_col, vec_col)).crossJoin(
+        F.broadcast(carr)
+    )
+    nv = norm(F.col(vec_col))
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (-(dot(F.col(vec_col), c["ce"]) / (nv * c["nc"]))).alias("neg_sim"),
+                c["cid"].alias("cid"),
+            ),
         )
-    ).alias("_b")
-    return (
-        scored.groupBy(id_col)
-        .agg(best)
-        .select(id_col, F.col("_b.cid").alias("bucket"), F.col("_b.v").alias(vec_col))
+    )
+    return scored.select(
+        id_col, best["cid"].alias("bucket"), F.col(vec_col)
     )
 
 
@@ -169,10 +210,19 @@ def ivf_topk(
     probes = (
         qc.withColumn("rnk", F.row_number().over(wq))
         .filter(F.col("rnk") <= nprobe)
-        .select("qid", "qe", F.col("centroid_id").alias("bucket"))
+        # hoist the query norm: it is reused by every candidate scored for
+        # this query below (bit-identical — see ``norm``)
+        .select("qid", "qe", F.col("centroid_id").alias("bucket"), norm(F.col("qe")).alias("_nq"))
     )
     cand = probes.join(assigned, "bucket").filter(F.col(id_col) != F.col("qid"))
-    sims = cand.select("qid", id_col, cosine(F.col("qe"), F.col(vec_col)).alias("sim"))
+    sims = cand.select(
+        "qid",
+        id_col,
+        (
+            dot(F.col("qe"), F.col(vec_col))
+            / (F.col("_nq") * norm(F.col(vec_col)))
+        ).alias("sim"),
+    )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -72,6 +72,27 @@ def get_spark(
     return spark
 
 
+def fan_out(df, min_partitions: int | None = None):
+    """Round-robin repartition an under-partitioned frame up to the session's
+    core count (guide §2.5 "input skew": one small unsplittable parquet file
+    gives the scan 1-2 partitions, and every narrow transformation downstream
+    — tokenize, n-gram, md5, cosine — then runs on 1-2 cores no matter how
+    many the session has). Scale-adaptive, not a constant: a frame that is
+    already at or above the target (any real at-scale input) is returned
+    unchanged, so this never SHRINKS parallelism at 100 TB; it only rescues
+    the small-file case. The round-robin shuffle moves only the frame's
+    current bytes once (cheap by construction: the frame is small or it
+    would already have enough partitions)."""
+    spark = SparkSession.getActiveSession()
+    if min_partitions is None:
+        if spark is None:
+            return df
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def stage_persist(df, mode: str | None = None):
     """Materialize an intermediate reused by several downstream subplans.
 
