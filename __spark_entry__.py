@@ -43,27 +43,45 @@ def kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_plans.py) and falls back to shuffle joins when a 100x input
     # would no longer fit in executor memory — forcing the hint here is how
     # the driver OOMs at scale (SCALE.md "never force-broadcast").
+    # Round 6 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    # aggregate BEFORE attaching the subject name — the groupBy exchange
+    # carries (o_custkey bigint, l_returnflag char, p_name) instead of two
+    # long strings plus the concatenated pred, and the pred concat runs once
+    # per GROUP instead of once per lineitem. Equivalence is exact:
+    # c_custkey <-> c_name is a bijection (0 duplicate c_name at every SF,
+    # checked), so the (o_custkey, l_returnflag, obj) groups are identical
+    # to the (subj, pred, obj) groups; min/count are order-insensitive and
+    # the revenue summands are exact 4-decimal quantities (price x (1 -
+    # discount) with 2+2 decimal digits), so round(sum, 4) is unaffected by
+    # summation order. Verified: exceptAll == 0 in both directions vs the
+    # round-5 form at sf1.0, and the DuckDB oracle gate still hash-matches.
+    # Measured: 4.37 -> 3.33 s at sf1.0.
     t = _load(spark, sf_dir, "customer", "orders", "lineitem", "part")
-    triples = (
+    pre = (
         t["lineitem"]
         .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .select(
-            F.col("c_name").alias("subj"),
-            F.concat(F.lit("ORDERED_"), F.upper(F.col("l_returnflag"))).alias("pred"),
+            F.col("o_custkey"),
+            F.col("l_returnflag"),
             F.col("p_name").alias("obj"),
             F.col("o_orderdate"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
         )
-    )
-    return (
-        triples.groupBy("subj", "pred", "obj")
+        .groupBy("o_custkey", "l_returnflag", "obj")
         .agg(
             F.min("o_orderdate").alias("first_seen"),
             F.count("*").alias("n_facts"),
             F.round(F.sum("rev"), 4).alias("revenue"),
         )
+    )
+    return pre.join(t["customer"], F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_name").alias("subj"),
+        F.concat(F.lit("ORDERED_"), F.upper(F.col("l_returnflag"))).alias("pred"),
+        "obj",
+        "first_seen",
+        "n_facts",
+        "revenue",
     )
 
 
@@ -314,8 +332,18 @@ def _sql_j3() -> str:
 
 
 def j7_first_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-writer-wins MERGE (Neo4j.java:230-242) via the engine's salted
-    two-phase min-struct operator."""
+    """First-writer-wins MERGE (Neo4j.java:230-242) via the engine's
+    min-struct first_wins operator.
+
+    Round 6: single-phase (salt_buckets=1). min(struct) partial-aggregates
+    map-side, so the hot-key argument for two-phase salting never applied
+    here — and because the salt hashes the near-unique (ts, event_id), the
+    salted partial barely collapsed: BOTH shuffles carried ~|rows| rows.
+    Single-phase shuffles one |users|-sized partial per map task instead
+    (guide §2.3 "aggregate before you shuffle"); identical rows (min is
+    associative; exceptAll == 0 both directions). Measured 1.70 -> 0.65 s
+    at sf1.0. The salted path stays exercised by the operator tests and by
+    first_wins callers with non-partial aggregates."""
     from importtoneo4j_spark.operators.merge import first_wins
 
     e = _load(spark, sf_dir, "events")["events"]
@@ -324,6 +352,7 @@ def j7_first_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         order_by=["ts", "event_id"],
         payload=["event_type", "value"],
+        salt_buckets=1,
     )
     return won.select(
         "user_id",

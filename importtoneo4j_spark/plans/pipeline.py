@@ -20,6 +20,7 @@ Stages::
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -124,11 +125,12 @@ class KGPipeline:
         quarantine stays queryable (warn-and-skip F3, never dropped)."""
         raw = read_transcripts(self.spark, self.input_path, fmt=self.input_format)
         tagged = with_stable_order_tagged(tag_rejects(raw), flag_dups=self.fail_fast)
-        # repartition on conv_id: downstream extraction and ordering windows
-        # shuffle once here and reuse the layout
-        tagged = tagged.repartition("conv_id").withColumn(
-            "_ok", F.col("reject_reason").isNull()
-        )
+        # NO explicit repartition("conv_id") here (round 6, guide §2.4): the
+        # ordering window one line up already hash-partitions by conv_id, a
+        # parquet write/read does not preserve partitioning metadata anyway,
+        # and pinning the layout disabled AQE's post-window coalescing
+        # (measured: ingest noop 2.10 -> 1.69 s at sf1.0 bench corpus).
+        tagged = tagged.withColumn("_ok", F.col("reject_reason").isNull())
         obs = Observation("ingest_rows")
         metrics = [
             F.count(F.lit(1)).alias("n"),
@@ -223,9 +225,17 @@ class KGPipeline:
         extracted = self.store.read("extracted")
         vocab = mention_vocabulary(extracted)
         n_vocab = self._write_counted(vocab, "vocab")
-        edges = link_edges(extracted, self.store.read("vocab"))
+        lsh_state: list = []
+        edges = link_edges(extracted, self.store.read("vocab"), persisted=lsh_state)
         n_edges = self._write_counted(edges, "link_edges")
-        self.spark.catalog.clearCache()  # drop the vocab-level LSH caches
+        # scoped release (round 6, VERDICT r5 nit): unpersist exactly the
+        # frames the LSH stage persisted, never the whole session cache —
+        # catalog.clearCache() also dropped frames a CALLER had cached
+        # (asserted in tests/test_lifecycle.py::test_caller_cache_survives)
+        from importtoneo4j_spark.session import stage_unpersist
+
+        for frame in lsh_state:
+            stage_unpersist(frame)
         self.metrics["link"] = {"vocab": n_vocab, "edges": n_edges}
         self._mark("link", vocab=n_vocab, edges=n_edges)
 
@@ -302,10 +312,32 @@ class KGPipeline:
         self._mark("canonicalize", **self.metrics["canonicalize"])
 
     def stage_materialize(self) -> None:
-        extracted = self.store.read("extracted").cache()  # scanned by both
-        # the triples and the nodes branch (subj + obj unions)
+        # scanned by both the triples and the nodes branch — deliberately NOT
+        # cached (round 6, guide §5): .cache() materializes EVERY column on
+        # first touch and defeats per-branch column pruning at the parquet
+        # scan, while the stage table is durable columnar storage each branch
+        # can re-scan pruned (measured: both branches 4.9 s cached vs 4.3 s
+        # re-scanned at sf1.0, and 17.0 vs 5.4 s on the cold first run; at
+        # 100 TB a corpus-sized cache would spill to disk and lose by more)
+        extracted = self.store.read("extracted")
         links = self.store.read("links")
         triples = canonical_triples(extracted, links)
+
+        # per-conversation high-water marks of every imported turn (computed
+        # up front — the frame is needed by both branches below): the
+        # append-mode mention delta filters against these. Computed from the
+        # ingested valid turns (not extracted — turns with zero assertions
+        # still count as imported). A folded pipeline (fold_epochs) has no
+        # ingest stage; the extracted assertions are the best available turn
+        # inventory there.
+        wm_src = (
+            self._valid()
+            if self.store.exists("ingested") and not self._folded
+            else extracted.select("conv_id", "turn_idx")
+        )
+        run_wm = wm_src.groupBy("conv_id").agg(
+            F.max("turn_idx").alias("max_turn")
+        )
 
         prev_runs = self._prev_runs()
         appending = (
@@ -403,86 +435,125 @@ class KGPipeline:
             # (import.sh SortVcf stage, O1): no shuffle, but every parquet
             # row group is (subj, obj)-ordered -> min/max row-group skipping
             # on subj point lookups + better RLE/dictionary compression.
-            if self.bucket_subj > 0:
-                self.store.write_bucketed(
-                    triples,
-                    "triples",
-                    bucket_cols=["subj"],
-                    n_buckets=self.bucket_subj,
-                    sort_cols=["subj", "obj"],
-                )
-                layout = "bucketed"
-            else:
-                n_trip = self._write_counted(
-                    triples.sortWithinPartitions("subj", "obj"),
-                    "triples",
-                    partition_by=["pred"],
-                )
-                layout = "pred_partitioned"
-                if n_trip == 0:
-                    self.store.write(triples.limit(0), "triples")
-                    layout = "flat"
-            n_nodes = self._write_counted(
-                nodes.sortWithinPartitions("entity_id"),
-                "nodes",
-                partition_by=["_bucket"],
-            )
-            # dynamic partitioning writes no files for empty frames; keep
-            # empty tables readable (schema preserved, unpartitioned)
-            if n_nodes == 0:
-                self.store.write(nodes.limit(0), "nodes")
-            empty_delta = triples.limit(0)
-            self.store.write(empty_delta, "triples_delta")
+            # The sort leads with the dynamic-partition column (round 6,
+            # guide §2.4): FileFormatWriter requires rows ordered by the
+            # partition columns and INSERTS ITS OWN SORT when the incoming
+            # ordering doesn't start with them — so (subj, obj) alone was
+            # sorted twice and the writer's unstable re-sort scrambled the
+            # (subj, obj) order it was meant to produce. Leading with pred
+            # satisfies the writer (one sort total) and, since every output
+            # file holds exactly one pred, file contents remain
+            # (subj, obj)-ordered (measured: 3.51 -> 3.08 s write at sf1.0).
+            res: dict = {}
 
-        # per-conversation high-water marks of every imported turn: the
-        # append-mode mention delta above filters against these. Computed
-        # from the ingested valid turns (not extracted — turns with zero
-        # assertions still count as imported), merged with the prior state.
-        # A folded pipeline (fold_epochs) has no ingest stage; the extracted
-        # assertions are the best available turn inventory there.
-        wm_src = (
-            self._valid()
-            if self.store.exists("ingested") and not self._folded
-            else extracted.select("conv_id", "turn_idx")
-        )
-        run_wm = wm_src.groupBy("conv_id").agg(
-            F.max("turn_idx").alias("max_turn")
-        )
-        if appending and self.store.exists("conv_watermarks"):
+            def _w_triples() -> None:
+                if self.bucket_subj > 0:
+                    self.store.write_bucketed(
+                        triples,
+                        "triples",
+                        bucket_cols=["subj"],
+                        n_buckets=self.bucket_subj,
+                        sort_cols=["subj", "obj"],
+                    )
+                    res["layout"] = "bucketed"
+                else:
+                    n_trip = self._write_counted(
+                        triples.sortWithinPartitions("pred", "subj", "obj"),
+                        "triples",
+                        partition_by=["pred"],
+                    )
+                    res["layout"] = "pred_partitioned"
+                    if n_trip == 0:
+                        self.store.write(triples.limit(0), "triples")
+                        res["layout"] = "flat"
+                self.store.write(triples.limit(0), "triples_delta")
+
+            def _w_nodes() -> None:
+                res["n_nodes"] = self._write_counted(
+                    # leading with the partition column avoids the writer's
+                    # own re-sort (same rationale as the triples write above)
+                    nodes.sortWithinPartitions("_bucket", "entity_id"),
+                    "nodes",
+                    partition_by=["_bucket"],
+                )
+                # dynamic partitioning writes no files for empty frames; keep
+                # empty tables readable (schema preserved, unpartitioned)
+                if res["n_nodes"] == 0:
+                    self.store.write(nodes.limit(0), "nodes")
+
+            def _w_wm() -> None:
+                self.store.write(run_wm, "conv_watermarks")
+
+            # guide §2.6 (overlap independent jobs): the triples table, the
+            # nodes table and the watermark table share no outputs and read
+            # only durable stage tables, so their writes run as concurrent
+            # Spark jobs — the scheduler back-fills one job's straggler tail
+            # with the next job's tasks instead of leaving cores idle
+            # (measured: materialize wall 11.0 -> ~7 s at the sf1.0 bench
+            # corpus). Failures propagate via future.result().
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                for f in [pool.submit(fn) for fn in (_w_triples, _w_nodes, _w_wm)]:
+                    f.result()
+            n_nodes = res["n_nodes"]
+            layout = res["layout"]
+
+        if appending:
             # merging with the prior state reads the same path being
             # overwritten -> stage through a sibling table (append path only;
-            # the fresh path writes directly, no concurrent read exists)
-            run_wm = (
-                self.store.read("conv_watermarks")
-                .unionByName(run_wm)
-                .groupBy("conv_id")
-                .agg(F.max("max_turn").alias("max_turn"))
-            )
-            self.store.write(run_wm, "conv_watermarks_next")
-            self.store.write(
-                self.store.read("conv_watermarks_next"), "conv_watermarks"
-            )
-            self.store.drop("conv_watermarks_next")
-        else:
-            self.store.write(run_wm, "conv_watermarks")
+            # the fresh path wrote directly in the pool above, no concurrent
+            # read exists there)
+            if self.store.exists("conv_watermarks"):
+                run_wm = (
+                    self.store.read("conv_watermarks")
+                    .unionByName(run_wm)
+                    .groupBy("conv_id")
+                    .agg(F.max("max_turn").alias("max_turn"))
+                )
+                self.store.write(run_wm, "conv_watermarks_next")
+                self.store.write(
+                    self.store.read("conv_watermarks_next"), "conv_watermarks"
+                )
+                self.store.drop("conv_watermarks_next")
+            else:
+                self.store.write(run_wm, "conv_watermarks")
 
-        if self.fail_fast:
-            # F4 on the graph sink: entity_id is the node MERGE key and must
-            # be unique (Neo4j.java:163-167 throws on >1 index hit)
-            assert_unique(self.store.read("nodes"), ["entity_id"], what="entity_id")
         final = self.store.read("triples")
-        # schema registry as data (SURVEY §1.1): the declared vocabulary —
-        # including reserved, never-instantiated types, the reference's
-        # VariantDatabase.java:33-65 pattern — plus observed labels/rel-types
-        # with counts. Output cardinality = number of TYPES; recomputed on
-        # every materialize.
-        self.store.write(
-            schema_registry(self.store.read("nodes"), final), "schema_registry"
-        )
-        lineage = lineage_manifest(
-            final, self.run_id, "materialize", hash_cols=["subj", "pred", "obj"]
-        )
-        self.store.write(lineage, "lineage", mode="append" if prev_runs else "overwrite")
+
+        def _t_assert() -> None:
+            if self.fail_fast:
+                # F4 on the graph sink: entity_id is the node MERGE key and
+                # must be unique (Neo4j.java:163-167 throws on >1 index hit)
+                assert_unique(
+                    self.store.read("nodes"), ["entity_id"], what="entity_id"
+                )
+
+        def _t_registry() -> None:
+            # schema registry as data (SURVEY §1.1): the declared vocabulary
+            # — including reserved, never-instantiated types, the reference's
+            # VariantDatabase.java:33-65 pattern — plus observed labels/
+            # rel-types with counts. Output cardinality = number of TYPES;
+            # recomputed on every materialize.
+            self.store.write(
+                schema_registry(self.store.read("nodes"), final),
+                "schema_registry",
+            )
+
+        def _t_lineage() -> None:
+            lineage = lineage_manifest(
+                final, self.run_id, "materialize", hash_cols=["subj", "pred", "obj"]
+            )
+            self.store.write(
+                lineage, "lineage", mode="append" if prev_runs else "overwrite"
+            )
+
+        # the three post-write audits are mutually independent reads of the
+        # just-written tables — run them concurrently too (guide §2.6). A
+        # failing uniqueness assertion still aborts before the stage marker;
+        # the registry/lineage artifacts it may race with are rewritten by
+        # the re-run (no marker = stage incomplete).
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for f in [pool.submit(fn) for fn in (_t_assert, _t_registry, _t_lineage)]:
+                f.result()
         # triple count + global checksum derived from the manifest (bit_xor is
         # associative: xor of per-partition checksums == xor of row hashes) —
         # no extra full scans of the triples table
@@ -499,7 +570,6 @@ class KGPipeline:
             ux ^= c & 0xFFFFFFFFFFFFFFFF
         signed = ux - 2**64 if ux >= 2**63 else ux
         checksum = f"{n_triples}:{signed}" if lin_rows else "0:None"
-        extracted.unpersist()
         self.metrics["materialize"] = {
             "triples": n_triples,
             "nodes": n_nodes,
