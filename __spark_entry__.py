@@ -1187,8 +1187,11 @@ def o6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from importtoneo4j_spark.functions.stats import profile_table
 
     o = _load(spark, sf_dir, "orders")["orders"]
+    # exact=True: the precise distinct count is this gate's oracle contract;
+    # the operator's default is approx (no Expand) since round 6
     return profile_table(
-        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+        exact=True,
     )
 
 
@@ -3080,12 +3083,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate (round 5): the driver harness samples gates in
-    # dict order with a cap (r4 recorded exactly the FIRST 50 of 64), so the
-    # keys least recently driver-verified come first — the three that have
-    # never had a driver row, then the eleven whose last green row is r3,
-    # then everything re-verified in r4.
+    # Ordering is deliberate (gate rotation, VERDICT r5 #2): the driver
+    # harness samples gates in dict order with a cap (~the FIRST 50), so the
+    # keys least recently driver-verified come first. Round 6 rotation: the
+    # 26 gates NOT in the r5 sample (all green in the r4 artifact and in the
+    # local 76-gate oracle suite) lead, followed by the r5-verified fifty in
+    # their prior relative order. Every gate thus has a driver-verified
+    # artifact within two consecutive rounds.
     return {
+        "g3_pagerank": g3_pagerank,
+        "g4_triangles": g4_triangles,
+        "s9_schema_catalog": s9_schema_catalog,
+        "t3_asof_join": t3_asof_join,
+        "t4_tumbling_window": t4_tumbling_window,
+        "t5_hopping_window": t5_hopping_window,
+        "t6_interval_join": t6_interval_join,
+        "s10_hash_split": s10_hash_split,
+        "txt_tfidf_top_terms": txt_tfidf_top_terms,
+        "a3_label_union": a3_label_union,
+        "a6_guarded_ratio": a6_guarded_ratio,
+        "u2_anti_join_delta": u2_anti_join_delta,
+        "u3_union_branches": u3_union_branches,
+        "u4_unpivot": u4_unpivot,
+        "c14_regexp_extract_all": c14_regexp_extract_all,
+        "c15_array_hof": c15_array_hof,
+        "w1_stable_order_topk": w1_stable_order_topk,
+        "w2_sessionize": w2_sessionize,
+        "w3_moving_avg": w3_moving_avg,
+        "c12_edit_distance": c12_edit_distance,
+        "text_token_stats": text_token_stats,
+        "text_bpe_tokens": text_bpe_tokens,
+        "text_quality_score": text_quality_score,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact": dedup_exact,
+        "contamination_exact": contamination_exact,
         "emb_quantize": emb_quantize,
         "o3_percentiles_approx": o3_percentiles_approx,
         "o4_corr_stats": o4_corr_stats,
@@ -3136,32 +3167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_degree": g1_degree,
         "j5_traversal_theta": j5_traversal_theta,
         "g2_two_hop": g2_two_hop,
-        "g3_pagerank": g3_pagerank,
-        "g4_triangles": g4_triangles,
-        "s9_schema_catalog": s9_schema_catalog,
-        "t3_asof_join": t3_asof_join,
-        "t4_tumbling_window": t4_tumbling_window,
-        "t5_hopping_window": t5_hopping_window,
-        "t6_interval_join": t6_interval_join,
-        "s10_hash_split": s10_hash_split,
-        "txt_tfidf_top_terms": txt_tfidf_top_terms,
-        "a3_label_union": a3_label_union,
-        "a6_guarded_ratio": a6_guarded_ratio,
-        "u2_anti_join_delta": u2_anti_join_delta,
-        "u3_union_branches": u3_union_branches,
-        "u4_unpivot": u4_unpivot,
-        "c14_regexp_extract_all": c14_regexp_extract_all,
-        "c15_array_hof": c15_array_hof,
-        "w1_stable_order_topk": w1_stable_order_topk,
-        "w2_sessionize": w2_sessionize,
-        "w3_moving_avg": w3_moving_avg,
-        "c12_edit_distance": c12_edit_distance,
-        "text_token_stats": text_token_stats,
-        "text_bpe_tokens": text_bpe_tokens,
-        "text_quality_score": text_quality_score,
-        "text_fingerprint": text_fingerprint,
-        "dedup_exact": dedup_exact,
-        "contamination_exact": contamination_exact,
     }
 
 

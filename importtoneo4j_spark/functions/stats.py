@@ -92,7 +92,11 @@ def equi_width_histogram(
     raw = F.when(
         width > 0, F.floor((F.col("x") - F.col("_lo")) / width)
     ).otherwise(F.lit(0))
-    bin_ = F.least(raw, F.lit(bins - 1)).cast("long")  # closed-right top edge
+    # clamp BOTH ends (ADVICE r5 low): with caller-supplied bounds, values
+    # below lo fold into bin 0 exactly as values above hi fold into the top
+    # bin — symmetric out-of-range handling, no negative bin ids with
+    # extrapolated labels. With derived bounds the clamps are identities.
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
     return (
         src.select(bin_.alias("bin"), "_lo", "_hi")
         .groupBy("bin")
@@ -112,28 +116,36 @@ def equi_width_histogram(
     )
 
 
-def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
     """One-pass per-column data profile -> (column, n_rows, n_null,
     n_distinct, min_str, max_str) (round 5) — the first thing a pipeline
-    runs against an unfamiliar table. Exact distincts (count_distinct,
-    not the HLL approximation) so the result is oracle-checkable;
-    min/max are compared on the column's native type, then rendered as
-    strings so heterogeneous columns stack into one frame.
+    runs against an unfamiliar table. min/max are compared on the column's
+    native type, then rendered as strings so heterogeneous columns stack
+    into one frame.
 
     Scale shape: ONE wide aggregate over ONE scan, unpivoted to rows with
     stack() — NOT a union of per-column selects, which Catalyst plans as
     a separate aggregate subtree (and a separate full scan) per column
-    (plan-checked in round 5). The multiple exact count_distincts expand
-    each input row once per distinct aggregate before the shuffle (Spark's
-    standard Expand strategy — #columns x the shuffle rows on one scan,
-    still cheaper than #columns scans); swap in approx_count_distinct for
-    profiling-only use at extreme scale (documented tradeoff)."""
+    (plan-checked in round 5).
+
+    ``exact`` (round 6, VERDICT r5 #6 — default False): exact
+    count_distinct aggregates are each planned through Spark's Expand
+    strategy, which duplicates EVERY input row once per distinct aggregate
+    before the shuffle — #columns x the corpus at 100 TB, for a profiling
+    number. The default now uses approx_count_distinct (HLL++, no Expand —
+    plan-asserted in tests); pass exact=True where the precise distinct
+    count is the contract (the o6 oracle gate does)."""
     cols = list(columns) if columns is not None else list(df.columns)
+    dcount = F.count_distinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{i}"),
-            F.count_distinct(F.col(c)).alias(f"_dist_{i}"),
+            dcount(F.col(c)).alias(f"_dist_{i}"),
             F.min(F.col(c)).cast("string").alias(f"_min_{i}"),
             F.max(F.col(c)).cast("string").alias(f"_max_{i}"),
         ]

@@ -225,9 +225,14 @@ def unigram_logprob(
     token occurrence (a doc repeating one token 10^4 times contributes
     one join row); the frequency table is a second partial aggregate over
     the same frame, and the final doc score is the tf-weighted mean. The
-    1-row total broadcasts."""
+    1-row total broadcasts. fan_out rescues a one-small-file corpus scan
+    (round 6, guide §2.5): the tokenize+explode below is narrow, so with a
+    single-partition input it all ran on one core."""
     from pyspark.sql import functions as F
 
+    from importtoneo4j_spark.session import fan_out
+
+    docs = fan_out(docs)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
@@ -263,7 +268,11 @@ def tf_idf(
     for tf, ONE groupBy(term) for df (both partial-aggregating), and the
     1-row corpus size broadcast via crossJoin — no windows, no driver
     collect, no UDF. Output cardinality = total distinct (doc, term)
-    pairs, i.e. bounded by the token count."""
+    pairs, i.e. bounded by the token count. fan_out as in
+    unigram_logprob (round 6)."""
+    from importtoneo4j_spark.session import fan_out
+
+    docs = fan_out(docs)
     toks = docs.select(
         F.col(id_col),
         F.explode(

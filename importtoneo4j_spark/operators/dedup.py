@@ -298,7 +298,10 @@ def exact_ngram_contamination(
     eval doc: (eval_id, n_shared_ngrams, n_train_docs).
     """
     def inv(df: DataFrame, alias: str) -> DataFrame:
-        return df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
+        # fan_out: the 13-gram explode is narrow (see simhash128)
+        return fan_out(
+            df.filter(F.size(_tokens(F.col(text_col))) >= n)
+        ).select(
             F.col(id_col).alias(alias),
             F.explode(token_ngrams(F.col(text_col), n)).alias("g"),
         )
@@ -332,7 +335,11 @@ def simhash128(
     words = [md5 hex chars 9-16, 1-8, 17-24, 25-32]. hash_fn='xxhash64'
     derives the four words from two salted xxhash64 calls for production
     runs that don't need SQL parity."""
-    toks = df.filter(F.size(_tokens(F.col(text_col))) >= n).select(
+    # fan_out (round 6, guide §2.5): the n-gram explode + 128 bit-votes are
+    # narrow; a one-small-file corpus otherwise runs them on one core
+    toks = fan_out(
+        df.filter(F.size(_tokens(F.col(text_col))) >= n)
+    ).select(
         F.col(id_col).alias("doc"),
         F.explode(token_ngrams(F.col(text_col), n)).alias("tok"),
     )

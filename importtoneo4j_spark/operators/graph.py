@@ -617,6 +617,10 @@ def hits(
     e = stage_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
+    # pre-bind so a failure before the first checkpoint cannot raise
+    # UnboundLocalError from the finally block and mask the real error
+    # (ADVICE r5 low)
+    hub = auth = None
     try:
         nodes = (
             e.select(F.col("src").alias("id"))
@@ -661,10 +665,12 @@ def hits(
     finally:
         stage_unpersist(e)
         # the returned frame was checkpointed above; the per-round vectors
-        # it was built from can go too. hub is ALWAYS a checkpoint this
-        # function owns (hub_0 included — a first-iteration failure must
-        # not pin it, code-review round 5); auth only exists after round 1
-        stage_unpersist(hub)
+        # it was built from can go too. hub is a checkpoint this function
+        # owns whenever it exists (hub_0 included — a first-iteration
+        # failure must not pin it, code-review round 5); both guards are
+        # None-safe (ADVICE r5 low)
+        if hub is not None:
+            stage_unpersist(hub)
         if auth is not None:
             stage_unpersist(auth)
 
@@ -741,8 +747,14 @@ def link_prediction_common_neighbors(
     emits B^2 wedge pairs, so ``max_degree`` drops hub VERTICES from the
     wedge build before the join (the drop_hot_buckets economics; the
     celebrity node proposes everyone to everyone and carries no signal).
-    Dropped hubs still count toward their neighbours' degrees, keeping
-    the Jaccard denominators honest."""
+    Dropped hubs still count toward their neighbours' degrees, so with
+    ``max_degree`` set the scores are conservative: n_common is counted
+    on the hub-capped wedge graph while the degrees come from the full
+    graph, so n_union = da + db - n_common can only OVERstate the true
+    union and the reported jaccard is a LOWER BOUND for pairs adjacent
+    to dropped hubs (exact for all others) — ADVICE r5 low, documented
+    rather than recomputing degrees on the capped view, because capped
+    degrees would silently change the unfiltered pairs' scores too."""
     und = _undirected(edges, src, dst)
     deg = und.groupBy("u").agg(F.count("*").alias("deg"))
     wedge_src = und

@@ -80,6 +80,7 @@ def lsh_candidate_edges(
     threshold: float = JACCARD_THRESHOLD,
     max_bucket: int = MAX_BUCKET,
     persisted: list | None = None,
+    sig_out: list | None = None,
 ) -> DataFrame:
     """Distinct norm_keys -> verified similarity edges (src < dst).
 
@@ -93,11 +94,7 @@ def lsh_candidate_edges(
     pipeline used to issue (which also dropped frames a caller had cached).
     """
     keys = stage_persist(
-        vocab.select("norm_key")
-        .distinct()
-        .withColumn("shingles", char_shingles(F.col("norm_key"), SHINGLE_K))
-        .withColumn("tokens", token_shingles(F.col("norm_key")))
-        .filter(F.size("shingles") > 0),
+        lsh_keys(vocab),
         mode="memory",  # vocabulary-sized (<< mentions); reused by the
         # self-join aliases and the verification joins below. memory (not
         # localCheckpoint): keeps lineage, and the table is small enough
@@ -109,6 +106,35 @@ def lsh_candidate_edges(
     )
     if persisted is not None:
         persisted.extend([keys, sig])
+    if sig_out is not None:
+        sig_out.append(sig)
+    return edges_from_sig(sig, keys, threshold, max_bucket)
+
+
+def lsh_keys(vocab: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct norm_keys with blocking shingles + verification tokens."""
+    return (
+        vocab.select("norm_key")
+        .distinct()
+        .withColumn("shingles", char_shingles(F.col("norm_key"), k))
+        .withColumn("tokens", token_shingles(F.col("norm_key")))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def edges_from_sig(
+    sig: DataFrame,
+    keys: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(norm_key, band_key) signatures + (norm_key, tokens) keys -> verified
+    similarity edges: the band self-join + exact-Jaccard half of
+    lsh_candidate_edges, split out (round 6) so the pipeline's append mode
+    can feed it STORED signatures — per-key md5/shingle work then runs only
+    for keys new to this batch, while candidate generation and verification
+    stay bit-identical to a full re-run (the signature of a key is a pure
+    function of the key, so stored ∪ fresh == recomputed-from-scratch)."""
     capped = drop_hot_buckets(sig, max_bucket)
 
     a = capped.alias("a")
@@ -188,14 +214,19 @@ def link_edges(
     extracted: DataFrame,
     vocab: DataFrame | None = None,
     persisted: list | None = None,
+    sig_out: list | None = None,
 ) -> DataFrame:
     """All linking evidence as one (src, dst) edge set on norm_keys.
-    ``persisted`` collects the LSH stage's cached frames for scoped release
-    (see lsh_candidate_edges)."""
+    ``persisted`` collects the LSH stage's cached frames for scoped release;
+    ``sig_out`` receives the (norm_key, band_key) signature frame so the
+    caller can store it for O(delta) append re-linking (see
+    lsh_candidate_edges / edges_from_sig)."""
     if vocab is None:
         vocab = mention_vocabulary(extracted)
     return (
         same_as_edges(extracted)
-        .unionByName(lsh_candidate_edges(vocab, persisted=persisted))
+        .unionByName(
+            lsh_candidate_edges(vocab, persisted=persisted, sig_out=sig_out)
+        )
         .distinct()
     )

@@ -29,7 +29,17 @@ from pyspark.sql import functions as F
 from importtoneo4j_spark.operators.canonicalize import assign_canonical_ids
 from importtoneo4j_spark.operators.enrich import enrich_nodes, missing_keys
 from importtoneo4j_spark.operators.extract import extract_assertions
-from importtoneo4j_spark.operators.link import link_edges, mention_vocabulary
+from importtoneo4j_spark.operators.link import (
+    BANDS,
+    NUM_PERM,
+    ROWS_PER_BAND,
+    edges_from_sig,
+    lsh_candidate_edges,
+    lsh_keys,
+    mention_vocabulary,
+    same_as_edges,
+)
+from importtoneo4j_spark.functions.text import minhash_bands_agg
 from importtoneo4j_spark.operators.materialize import (
     canonical_nodes,
     canonical_triples,
@@ -175,20 +185,29 @@ class KGPipeline:
             and self.store.exists("extracted")
             and self.store.exists("conv_watermarks")
             and bool(self._prev_runs())
+            # legacy (pre-run-partitioned) extracted layouts fall back to a
+            # full re-extraction, which rewrites the modern layout — correct,
+            # just not O(delta) for that one migration run
+            and self.store.has_partition_dirs("extracted", "_run")
         )
         if reusing:
-            # Round 5: run the Arrow extraction UDF on the DELTA turns only
-            # and reuse the snapshot's extraction for everything at or
-            # below the per-conversation watermark. Per-turn extraction is
-            # row-local and deterministic, and the append input is a
-            # documented superset whose old turns are byte-identical (the
-            # per-turn text-equality invariant), so
-            #   union(prev_extracted, extract(delta)) == extract(superset)
-            # bit-for-bit — every downstream consumer (vocabulary,
-            # staleness detection, fold inventory) sees the same full
-            # table, but at 10^12 turns the UDF touches the 10^11 new ones
-            # instead of re-chewing the whole corpus. Staged through a
-            # sibling table: parquet cannot overwrite the path it scans.
+            # Round 6: the extracted table is PARTITIONED BY the run that
+            # produced each row (_run=<run_id> directories), so an append
+            # extracts the DELTA turns only and lands them in this run's own
+            # partition — the base partitions are never rewritten. This
+            # replaces round 5's union(prev, delta) + full-table sibling
+            # swap, which (a) re-wrote 10^12 turns of extraction output to
+            # add 10^11 and (b) could tear the table if the process died
+            # between the swap and the marker (ADVICE r5 medium: the torn
+            # table still passed exists() and a resumed run silently dropped
+            # below-watermark rows). Now a crashed attempt leaves at worst a
+            # partial _run=<run_id> partition, which the re-run deletes and
+            # rewrites (conv_watermarks only advances in materialize, so the
+            # delta filter reproduces the same rows — exactly-once).
+            # Per-turn extraction is row-local and deterministic and the
+            # append input is a documented superset whose old turns are
+            # byte-identical, so base-partitions ∪ extract(delta) ==
+            # extract(superset) bit-for-bit.
             wm = self.store.read("conv_watermarks")
             delta = (
                 valid.join(wm, "conv_id", "left")
@@ -198,42 +217,145 @@ class KGPipeline:
                 )
                 .drop("max_turn")
             )
-            # prev is the snapshot RESTRICTED to at-or-below watermark —
-            # never the raw table. Resume idempotency (code-review round
-            # 5): a crash after the 'extracted' swap but before the stage
-            # marker would otherwise make the resumed run union the delta
-            # a SECOND time (conv_watermarks only advances in
-            # materialize); the filter strips any delta rows a previous
-            # attempt already merged, so re-running the stage is a no-op.
-            prev = (
-                self.store.read("extracted")
-                .join(wm, "conv_id", "inner")
-                .filter(F.col("turn_idx") <= F.col("max_turn"))
-                .drop("max_turn")
+            self._drop_extracted_run(self.run_id)
+            n_delta = self._write_counted(
+                extract_assertions(delta).withColumn("_run", F.lit(self.run_id)),
+                "extracted",
+                mode="append",
+                partition_by=["_run"],
             )
-            extracted = prev.unionByName(extract_assertions(delta))
-            n = self._write_counted(extracted, "extracted_next")
-            self.store.write(self.store.read("extracted_next"), "extracted")
-            self.store.drop("extracted_next")
+            prev_marker = self.store.read_marker("extract") or {}
+            if "assertions" in prev_marker:
+                n = int(prev_marker["assertions"]) + n_delta
+            else:
+                # marker lost (manual intervention / partial store): fall
+                # back to a metadata count of the full table — parquet
+                # answers count() from row-group statistics, no data scan
+                n = self._extracted().count()
         else:
-            extracted = extract_assertions(valid)
-            n = self._write_counted(extracted, "extracted")
+            extracted = extract_assertions(valid).withColumn(
+                "_run", F.lit(self.run_id)
+            )
+            n = self._write_counted(extracted, "extracted", partition_by=["_run"])
+            if n == 0:
+                # dynamic partitioning writes no files for an empty frame;
+                # rewrite unpartitioned so the schema survives (empty input
+                # -> 0 triples, not a read error) — same guard as ingest
+                self.store.write(extracted.limit(0).drop("_run"), "extracted")
         self.metrics["extract"] = {"assertions": n, "delta_only": reusing}
         self._mark("extract", assertions=n)
 
+    def _extracted(self) -> DataFrame:
+        """The full extracted-assertions view (every run's partition), with
+        the _run bookkeeping column dropped. Tolerates legacy flat layouts
+        (no _run column)."""
+        df = self.store.read("extracted")
+        return df.drop("_run") if "_run" in df.columns else df
+
+    def _extracted_run(self, run_id: str) -> DataFrame:
+        """THIS run's extraction delta — a partition-pruned scan of
+        extracted/_run=<run_id> (O(delta) I/O), falling back to the full
+        view for legacy layouts."""
+        df = self.store.read("extracted")
+        if "_run" not in df.columns:
+            return df
+        return df.filter(F.col("_run") == run_id).drop("_run")
+
+    def _drop_extracted_run(self, run_id: str) -> None:
+        """Delete one _run partition directory (crash-recovery for the
+        append extract; Spark's partition dir naming for plain string
+        run ids is `_run=<value>`)."""
+        fs, hp = self.store._fs(
+            f"{self.store.path('extracted')}/_run={run_id}"
+        )
+        if fs.exists(hp):
+            fs.delete(hp, True)
+
     def stage_link(self) -> None:
-        extracted = self.store.read("extracted")
-        vocab = mention_vocabulary(extracted)
-        n_vocab = self._write_counted(vocab, "vocab")
+        from importtoneo4j_spark.session import stage_persist, stage_unpersist
+
+        reusing = (
+            self.mode == "append"
+            and bool(self._prev_runs())
+            and self.store.exists("vocab")
+            and self.store.exists("link_sig")
+            and self.store.exists("same_as_edges")
+            and self.store.has_partition_dirs("extracted", "_run")
+        )
         lsh_state: list = []
-        edges = link_edges(extracted, self.store.read("vocab"), persisted=lsh_state)
-        n_edges = self._write_counted(edges, "link_edges")
+        if reusing:
+            # O(delta) re-link (round 6, VERDICT r5 #1a): the expensive
+            # per-key work — normalize, char-shingle, md5 MinHash — runs
+            # ONLY for norm_keys new to this batch; stored signatures cover
+            # the rest. Candidate generation (band join over the capped
+            # union signature) and token-Jaccard verification are
+            # bit-identical to a full re-run because a key's signature is a
+            # pure function of the key: stored ∪ fresh == recomputed.
+            # same_as evidence is kept as its own durable table so the old
+            # half unions in without re-scanning 10^12 old turns. All three
+            # stores swap in via rename-promote at the end, so a crash at
+            # any point leaves the old state (or a missing table the resume
+            # path rebuilds) — never a torn one.
+            delta_ext = self._extracted_run(self.run_id)
+            old_vocab = self.store.read("vocab")
+            fresh_vocab = mention_vocabulary(delta_ext).join(
+                old_vocab.select("surface"), "surface", "left_anti"
+            )
+            n_vocab = self._write_counted(
+                old_vocab.unionByName(fresh_vocab), "vocab_next"
+            )
+            vocab_all = self.store.read("vocab_next")
+            old_sig = self.store.read("link_sig")
+            keys_all = stage_persist(lsh_keys(vocab_all))
+            new_keys = keys_all.join(
+                old_sig.select("norm_key").distinct(), "norm_key", "left_anti"
+            )
+            sig_all = stage_persist(
+                old_sig.unionByName(
+                    minhash_bands_agg(
+                        new_keys, "norm_key", "shingles",
+                        NUM_PERM, BANDS, ROWS_PER_BAND,
+                    )
+                )
+            )
+            lsh_state.extend([keys_all, sig_all])
+            self.store.write(sig_all, "link_sig_next")
+            self.store.write(
+                self.store.read("same_as_edges")
+                .unionByName(same_as_edges(delta_ext))
+                .distinct(),
+                "same_as_next",
+            )
+            edges = (
+                self.store.read("same_as_next")
+                .unionByName(edges_from_sig(sig_all, keys_all))
+                .distinct()
+            )
+            n_edges = self._write_counted(edges, "link_edges")
+            self.store.promote("vocab_next", "vocab")
+            self.store.promote("link_sig_next", "link_sig")
+            self.store.promote("same_as_next", "same_as_edges")
+        else:
+            extracted = self._extracted()
+            vocab = mention_vocabulary(extracted)
+            n_vocab = self._write_counted(vocab, "vocab")
+            # durable same_as + signature stores: what makes the NEXT
+            # append's re-link O(delta) (written once here, then rolled
+            # forward incrementally)
+            self.store.write(same_as_edges(extracted), "same_as_edges")
+            sig_box: list = []
+            lsh = lsh_candidate_edges(
+                self.store.read("vocab"), persisted=lsh_state, sig_out=sig_box
+            )
+            edges = (
+                self.store.read("same_as_edges").unionByName(lsh).distinct()
+            )
+            n_edges = self._write_counted(edges, "link_edges")
+            self.store.write(sig_box[0], "link_sig")
         # scoped release (round 6, VERDICT r5 nit): unpersist exactly the
         # frames the LSH stage persisted, never the whole session cache —
         # catalog.clearCache() also dropped frames a CALLER had cached
         # (asserted in tests/test_lifecycle.py::test_caller_cache_survives)
-        from importtoneo4j_spark.session import stage_unpersist
-
         for frame in lsh_state:
             stage_unpersist(frame)
         self.metrics["link"] = {"vocab": n_vocab, "edges": n_edges}
@@ -319,9 +441,8 @@ class KGPipeline:
         # can re-scan pruned (measured: both branches 4.9 s cached vs 4.3 s
         # re-scanned at sf1.0, and 17.0 vs 5.4 s on the cold first run; at
         # 100 TB a corpus-sized cache would spill to disk and lose by more)
-        extracted = self.store.read("extracted")
+        extracted = self._extracted()
         links = self.store.read("links")
-        triples = canonical_triples(extracted, links)
 
         # per-conversation high-water marks of every imported turn (computed
         # up front — the frame is needed by both branches below): the
@@ -350,78 +471,169 @@ class KGPipeline:
             and not self._auto_fold
         )
         if appending:
-            snapshot = self.store.read("triples")
-            delta = new_keys_only(triples, snapshot, ["subj", "pred", "obj"])
-            self.store.write(delta, "triples_delta")  # ref delta-VCF sink analog
-            # appending into a bucketed table would silently break its
-            # bucket guarantee -> demote to plain layout (flat files match
-            # the bucketed dir shape; partitioned appends only on the
-            # pred-partitioned layout). The layout is consulted from the
-            # DURABLE materialize marker, not the session-local catalog
-            # (ADVICE r2): a fresh session's in-memory catalog answers
-            # tableExists=False for a bucketed table written by a previous
-            # session, and a pred-partitioned append into the flat bucketed
-            # directory is a mixed layout partition discovery rejects.
             prev_marker = self.store.read_marker("materialize") or {}
-            prev_layout = prev_marker.get("triples_layout")
-            if prev_layout is None:
-                # legacy marker without the layout key (ADVICE r3 medium):
-                # probe the directory instead of assuming pred-partitioned —
-                # a wrong guess appends the OTHER layout into this one and
-                # partition discovery then silently drops files.
-                prev_layout = (
-                    "pred_partitioned"
-                    if self.store.has_partition_dirs("triples", "pred")
-                    else "flat"
-                )
-            # any plain layout stays plain (ADVICE r3 high): after a
-            # bucketed->flat demotion the marker reads 'flat', and a second
-            # append must NOT write pred= dirs into that flat directory
-            plain = prev_layout in ("bucketed", "flat")
-            self.spark.sql(
-                f"DROP TABLE IF EXISTS {self.store.catalog_name('triples')}"
-            )
-            self.store.write(
-                self.store.read("triples_delta"),
-                "triples",
-                mode="append",
-                partition_by=None if plain else ["pred"],
-            )
-            layout = "flat" if plain else "pred_partitioned"
-            # node upsert (not insert-new-only): labels/surfaces/mention
-            # counts accumulate onto existing nodes across runs, matching
-            # the reference's re-run MERGE (addNodeLabel) — ADVICE r1 fix.
-            # The mention/label delta is computed ONLY over turns newer than
-            # the per-conversation watermarks of previous runs (ADVICE r2):
-            # append inputs are documented supersets (re-export + new data),
-            # and without the watermark anti-filter the snapshot's own turns
-            # would be re-counted into n_mentions on every append. Watermark
-            # state is one row per conversation (10^9 rows at 10^12 turns),
-            # not per turn.
-            delta_extracted = extracted
+            # Round 6 (VERDICT r5 #1): the append branch computes from THIS
+            # run's extraction partition only — a partition-pruned O(delta)
+            # scan — instead of re-mapping and re-first-winsing the whole
+            # corpus and anti-joining 10^12 rows against the snapshot.
+            # Exactness: old surfaces keep their snapshot canonical ids in
+            # append mode (stage_canonicalize), so every triple derivable
+            # from an old turn is already IN the snapshot; new (s,p,o) keys
+            # can only arise from delta turns, and a new key has no old
+            # occurrences, so its first-wins attribution over the delta
+            # equals its attribution over the full corpus. The anti-join
+            # against the snapshot still guards the exactly-once contract.
+            # The watermark filter stays as a second guard for the legacy-
+            # layout fallback, where the run partition holds the full corpus
+            # (without it, old turns would re-count into n_mentions).
+            delta_extracted = self._extracted_run(self.run_id)
             if self.store.exists("conv_watermarks"):
                 wm = self.store.read("conv_watermarks")
                 delta_extracted = (
-                    extracted.join(wm, "conv_id", "left")
+                    delta_extracted.join(wm, "conv_id", "left")
                     .filter(
                         F.col("max_turn").isNull()
                         | (F.col("turn_idx") > F.col("max_turn"))
                     )
                     .drop("max_turn")
                 )
-            delta_nodes = canonical_nodes(delta_extracted, links)
-            # Staged through a sibling table: parquet can't overwrite the
-            # path it is scanning.
-            nodes_snap = self.store.read("nodes").drop("_bucket")
-            merged = merge_nodes(nodes_snap, delta_nodes).withColumn(
-                "_bucket", node_bucket(F.col("entity_id"))
-            )
-            n_nodes = self._write_counted(merged, "nodes_next")
-            self.store.write(
-                self.store.read("nodes_next"), "nodes", partition_by=["_bucket"]
-            )
-            self.store.drop("nodes_next")
+            res: dict = {}
+
+            def _a_triples() -> None:
+                cand = canonical_triples(delta_extracted, links)
+                # exactly-once guard, delta-sized: the snapshot side of the
+                # anti-join is first semi-joined down to rows sharing a subj
+                # with the delta (a matching key necessarily shares subj, so
+                # nothing droppable is lost) — AQE then broadcasts the
+                # shrunken side and the 10^12-key snapshot is never shuffled
+                # (guide §3.2 semi-join pre-filter; no forced broadcast).
+                delta_subj = cand.select("subj").distinct()
+                snapshot = (
+                    self.store.read("triples")
+                    .join(delta_subj, "subj", "left_semi")
+                )
+                delta = new_keys_only(cand, snapshot, ["subj", "pred", "obj"])
+                self.store.write(delta, "triples_delta")  # ref delta-VCF sink
+                # appending into a bucketed table would silently break its
+                # bucket guarantee -> demote to plain layout (flat files
+                # match the bucketed dir shape; partitioned appends only on
+                # the pred-partitioned layout). The layout is consulted from
+                # the DURABLE materialize marker, not the session-local
+                # catalog (ADVICE r2): a fresh session's in-memory catalog
+                # answers tableExists=False for a bucketed table written by
+                # a previous session, and a pred-partitioned append into the
+                # flat bucketed directory is a mixed layout partition
+                # discovery rejects.
+                prev_layout = prev_marker.get("triples_layout")
+                if prev_layout is None:
+                    # legacy marker without the layout key (ADVICE r3
+                    # medium): probe the directory instead of assuming
+                    # pred-partitioned — a wrong guess appends the OTHER
+                    # layout into this one and partition discovery then
+                    # silently drops files.
+                    prev_layout = (
+                        "pred_partitioned"
+                        if self.store.has_partition_dirs("triples", "pred")
+                        else "flat"
+                    )
+                # any plain layout stays plain (ADVICE r3 high): after a
+                # bucketed->flat demotion the marker reads 'flat', and a
+                # second append must NOT write pred= dirs into that flat dir
+                plain = prev_layout in ("bucketed", "flat")
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self.store.catalog_name('triples')}"
+                )
+                self.store.write(
+                    self.store.read("triples_delta"),
+                    "triples",
+                    mode="append",
+                    partition_by=None if plain else ["pred"],
+                )
+                res["layout"] = "flat" if plain else "pred_partitioned"
+
+            def _a_nodes() -> None:
+                # node upsert (not insert-new-only): labels/surfaces/mention
+                # counts accumulate onto existing nodes across runs, matching
+                # the reference's re-run MERGE (addNodeLabel) — ADVICE r1
+                # fix. Round 6 (VERDICT r5 #1c/#4): BUCKET-SCOPED — only the
+                # _bucket partitions containing entities touched by the delta
+                # are merged and rewritten (dynamic partition overwrite);
+                # untouched bucket directories keep their files byte-for-byte
+                # (contract-tested). The old path full-outer-joined and
+                # REWROTE the entire nodes table twice (nodes_next + nodes)
+                # per append — the dominant append cost at 10^9 nodes.
+                # delta_nodes is read by three consumers (touched-bucket
+                # derivation, the merge, and nothing else transitively
+                # cheap) — checkpoint ONCE so the delta aggregation runs
+                # once, not per consumer; same for the touched snapshot
+                # slice (merge + count). Both frames are delta-sized /
+                # touched-bucket-sized. The checkpoints also cut the nodes
+                # path out of the write's lineage, which is what lets the
+                # dynamic partition overwrite target the same table (V1
+                # refuses to overwrite a path it scans).
+                delta_nodes = canonical_nodes(
+                    delta_extracted, links
+                ).localCheckpoint()
+                touched = delta_nodes.select(
+                    node_bucket(F.col("entity_id")).alias("_bucket")
+                ).distinct()
+                snap_touched = (
+                    self.store.read("nodes")
+                    .join(F.broadcast(touched), "_bucket")
+                    .drop("_bucket")
+                    .localCheckpoint()
+                )
+                merged = merge_nodes(snap_touched, delta_nodes).withColumn(
+                    "_bucket", node_bucket(F.col("entity_id"))
+                )
+                n_touched_before = snap_touched.count()
+                if "nodes" in prev_marker:
+                    prev_total = int(prev_marker["nodes"])
+                else:
+                    # marker lost: metadata count before the overwrite
+                    prev_total = self.store.read("nodes").count()
+                obs = Observation("nodes_upsert")
+                self.store.overwrite_partitions(
+                    merged.observe(obs, F.count(F.lit(1)).alias("n")),
+                    "nodes",
+                    ["_bucket"],
+                )
+                res["n_nodes"] = (
+                    prev_total - n_touched_before + int(obs.get["n"])
+                )
+
+            had_wm = self.store.exists("conv_watermarks")
+
+            def _a_wm() -> None:
+                if had_wm:
+                    # merging with the prior state reads the path being
+                    # replaced -> stage through a sibling and rename-promote
+                    # (one write instead of round 5's write + re-write). The
+                    # promote itself is DEFERRED below the pool join: the
+                    # triples/nodes closures also READ conv_watermarks (the
+                    # delta filter), so swapping it mid-flight would yank
+                    # files out from under their running scans.
+                    merged_wm = (
+                        self.store.read("conv_watermarks")
+                        .unionByName(run_wm)
+                        .groupBy("conv_id")
+                        .agg(F.max("max_turn").alias("max_turn"))
+                    )
+                    self.store.write(merged_wm, "conv_watermarks_next")
+                else:
+                    self.store.write(run_wm, "conv_watermarks")
+
+            # the three append updates write disjoint tables — run them as
+            # concurrent jobs (guide §2.6), same as the overwrite branch
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                for f in [pool.submit(fn) for fn in (_a_triples, _a_nodes, _a_wm)]:
+                    f.result()
+            if had_wm:
+                self.store.promote("conv_watermarks_next", "conv_watermarks")
+            n_nodes = res["n_nodes"]
+            layout = res["layout"]
         else:
+            triples = canonical_triples(extracted, links)
             nodes = canonical_nodes(extracted, links).withColumn(
                 "_bucket", node_bucket(F.col("entity_id"))
             )
@@ -496,26 +708,6 @@ class KGPipeline:
                     f.result()
             n_nodes = res["n_nodes"]
             layout = res["layout"]
-
-        if appending:
-            # merging with the prior state reads the same path being
-            # overwritten -> stage through a sibling table (append path only;
-            # the fresh path wrote directly in the pool above, no concurrent
-            # read exists there)
-            if self.store.exists("conv_watermarks"):
-                run_wm = (
-                    self.store.read("conv_watermarks")
-                    .unionByName(run_wm)
-                    .groupBy("conv_id")
-                    .agg(F.max("max_turn").alias("max_turn"))
-                )
-                self.store.write(run_wm, "conv_watermarks_next")
-                self.store.write(
-                    self.store.read("conv_watermarks_next"), "conv_watermarks"
-                )
-                self.store.drop("conv_watermarks_next")
-            else:
-                self.store.write(run_wm, "conv_watermarks")
 
         final = self.store.read("triples")
 
@@ -610,12 +802,15 @@ class KGPipeline:
         n_miss = 0 if fom else missing_keys(nodes, attrs).count()
         # stage through a sibling table: parquet can't overwrite a path
         # while scanning it
-        n_nodes = self._write_counted(enriched, "nodes_enriched")
+        # rename-promote instead of a second full write (round 6): the old
+        # read-back-and-rewrite paid the nodes table's bytes twice. The
+        # staged write is already laid out (partitioned) exactly as the
+        # destination should be, so the swap is pure metadata.
         pby = ["_bucket"] if "_bucket" in enriched.columns else None
-        self.store.write(
-            self.store.read("nodes_enriched"), "nodes", partition_by=pby
+        n_nodes = self._write_counted(
+            enriched, "nodes_enriched", partition_by=pby
         )
-        self.store.drop("nodes_enriched")
+        self.store.promote("nodes_enriched", "nodes")
         self.metrics["enrich"] = {"nodes": n_nodes, "misses": n_miss}
         self._mark("enrich", nodes=n_nodes, misses=n_miss)
         return self.metrics["enrich"]
@@ -666,7 +861,11 @@ class KGPipeline:
         t0 = time.time()
         self._folded = True
         ext = self.spark.read.parquet(stream_output_dir).drop("epoch")
-        n = self._write_counted(ext, "extracted")
+        n = self._write_counted(
+            ext.withColumn("_run", F.lit(self.run_id)),
+            "extracted",
+            partition_by=["_run"],
+        )
         self.metrics["extract"] = {"assertions": n, "folded": True}
         self._mark("extract", assertions=n, folded=True)
         stage_secs: dict[str, float] = {}

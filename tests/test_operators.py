@@ -538,3 +538,18 @@ def test_tf_idf_hand_computed(spark):
     assert abs(got[(1, "apple")][2] - 2 * idf_apple) < 1e-12
     assert abs(got[(1, "banana")][2] - 1 * idf_banana) < 1e-12
     assert got[(1, "apple")][0] == 2 and got[(1, "apple")][1] == 3
+
+
+def test_profile_table_approx_default_no_expand(spark):
+    """Round 6 (VERDICT r5 #6): the default profile uses
+    approx_count_distinct — no Expand node duplicating every input row per
+    distinct aggregate; exact=True keeps the precise (o6-gate) path."""
+    from importtoneo4j_spark.functions.stats import profile_table
+
+    df = spark.range(100).selectExpr("id as k", "cast(id % 7 as string) as s")
+    approx_plan = (
+        profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in approx_plan
+    exact = {r["column"]: r for r in profile_table(df, exact=True).collect()}
+    assert exact["k"]["n_distinct"] == 100 and exact["s"]["n_distinct"] == 7

@@ -91,15 +91,23 @@ def test_no_python_udf_outside_extraction(spark):
 
 
 def test_extraction_is_arrow_batched(spark, gen):
-    """...and the extraction itself uses the Arrow path (MapInPandas),
-    never row-at-a-time BatchEvalPython."""
-    from importtoneo4j_spark.operators.extract import extract_assertions
+    """Round 6: the DEFAULT extraction runs entirely in the JVM — no Python
+    node of any kind in the plan (guide §4.1: built-ins over UDFs). The
+    retained Arrow extension point still uses MapInPandas (batched), never
+    row-at-a-time BatchEvalPython."""
+    from importtoneo4j_spark.operators.extract import (
+        extract_assertions,
+        extract_assertions_arrow,
+    )
     from importtoneo4j_spark.sources.transcripts import with_stable_order
 
     df = with_stable_order(spark.createDataFrame(gen.turns_pandas(5)))
     plan = plan_of(extract_assertions(df))
-    assert "MapInPandas" in plan
-    assert "BatchEvalPython" not in plan
+    for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    arrow_plan = plan_of(extract_assertions_arrow(df))
+    assert "MapInPandas" in arrow_plan
+    assert "BatchEvalPython" not in arrow_plan
 
 
 def test_first_wins_has_partial_aggregation(spark):
