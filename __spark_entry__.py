@@ -1325,17 +1325,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fold and operand order), and the single-file embeddings scan is
     fanned out so the pair scoring uses every core instead of the scan's
     one partition."""
-    from importtoneo4j_spark.operators.similarity import dot, norm
+    from importtoneo4j_spark.operators.similarity import dot_d, norm, to_double
     from importtoneo4j_spark.session import fan_out
 
     e = _load(spark, sf_dir, "embeddings")["embeddings"]
+    # norms AND double-cast copies are projected below the join boundary so
+    # they are computed once per row, not once per scored pair (CollapseProject
+    # cannot inline across a join; see similarity.norm docstring)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
+        to_double(F.col("embedding")).alias("_qd"),
         norm(F.col("embedding")).alias("_nq"),
     )
     corpus = fan_out(
-        e.select("vec_id", "embedding", norm(F.col("embedding")).alias("_ne"))
+        e.select(
+            "vec_id",
+            to_double(F.col("embedding")).alias("_vd"),
+            norm(F.col("embedding")).alias("_ne"),
+        )
     )
     pairs = corpus.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("qid")
@@ -1344,7 +1351,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "vec_id",
         (
-            dot(F.col("qe"), F.col("embedding")) / (F.col("_nq") * F.col("_ne"))
+            dot_d(F.col("_qd"), F.col("_vd")) / (F.col("_nq") * F.col("_ne"))
         ).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())

@@ -36,8 +36,33 @@ def norm(a: Column) -> Column:
     a row scored against K centroids pays 3K dots where K+2 suffice.
     ``dot(a, b) / (norm(a) * norm(b))`` is BIT-IDENTICAL to
     ``cosine(a, b)`` (same fold order, same operand order in the
-    denominator product), so hoisting never moves a rounded score."""
+    denominator product), so hoisting never moves a rounded score.
+
+    Hoisting caveat (round 6): a projected column referenced ONCE textually
+    is inlined back into its consumer by CollapseProject, and an expression
+    referenced inside a higher-order-function lambda is re-evaluated PER
+    ELEMENT — to make a hoist real, compute it in a projection BELOW a join
+    boundary (joins block projection collapse) and reference the attribute."""
     return F.sqrt(dot(a, a))
+
+
+def to_double(a: Column) -> Column:
+    """Element-wise cast of a float embedding to array<double>, hoisted out
+    of the scoring loops: ``dot`` casts BOTH operands per element, so a row
+    scored against K centroids paid 2K x dim casts where dim suffice.
+    Multiplying pre-cast doubles is bit-identical to casting inside the
+    multiply (same op, same order)."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def dot_d(a: Column, b: Column) -> Column:
+    """``dot`` over ALREADY-double arrays (no per-element casts) — pair with
+    ``to_double``. Bit-identical to ``dot`` on the raw float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def brute_force_topk(
@@ -128,15 +153,16 @@ def kmeans_refine(
 
 def _centroid_array(cents: DataFrame) -> DataFrame:
     """Collapse the (centroid_id, ce) table into ONE row holding a sorted
-    array of (cid, ce, nc) structs (nc = precomputed centroid norm).
-    K centroids -> one broadcastable row; array_sort on cid makes the
+    array of (cid, ced, nc) structs — ced pre-cast to double, nc the
+    precomputed centroid norm (both once per centroid, not once per scored
+    row). K centroids -> one broadcastable row; array_sort on cid makes the
     element order deterministic regardless of partitioning."""
     return cents.agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
                     F.col("centroid_id").alias("cid"),
-                    F.col("ce").alias("ce"),
+                    to_double(F.col("ce")).alias("ced"),
                     norm(F.col("ce")).alias("nc"),
                 )
             )
@@ -166,17 +192,30 @@ def _argmax_assign(
     unique, so the old comparison never reached v). neg_sim is
     bit-identical (see ``norm``), so every assignment is identical.
     fan_out rescues the one-small-parquet-file scan (guide §2.5); at
-    scale it is a no-op."""
+    scale it is a no-op.
+
+    The vector's double-cast copy and its norm are projected BELOW the
+    broadcast join (joins block CollapseProject, so they stay computed
+    once per ROW): an expression referenced inside the transform lambda
+    would otherwise be re-evaluated once per CENTROID — the norm subtree
+    alone cost K x dim multiply-adds per row before this (measured on the
+    interpreted higher-order-function path, which has no codegen or
+    runtime subexpression elimination)."""
     carr = _centroid_array(cents)
-    scored = fan_out(embeddings.select(id_col, vec_col)).crossJoin(
-        F.broadcast(carr)
+    per_row = fan_out(embeddings.select(id_col, vec_col)).select(
+        id_col,
+        vec_col,
+        to_double(F.col(vec_col)).alias("_vd"),
+        norm(F.col(vec_col)).alias("_nv"),
     )
-    nv = norm(F.col(vec_col))
+    scored = per_row.crossJoin(F.broadcast(carr))
     best = F.array_min(
         F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                (-(dot(F.col(vec_col), c["ce"]) / (nv * c["nc"]))).alias("neg_sim"),
+                (
+                    -(dot_d(F.col("_vd"), c["ced"]) / (F.col("_nv") * c["nc"]))
+                ).alias("neg_sim"),
                 c["cid"].alias("cid"),
             ),
         )

@@ -263,13 +263,18 @@ class KGPipeline:
 
     def _drop_extracted_run(self, run_id: str) -> None:
         """Delete one _run partition directory (crash-recovery for the
-        append extract; Spark's partition dir naming for plain string
-        run ids is `_run=<value>`)."""
-        fs, hp = self.store._fs(
-            f"{self.store.path('extracted')}/_run={run_id}"
-        )
-        if fs.exists(hp):
-            fs.delete(hp, True)
+        append extract). Matches by DECODED partition value — Spark
+        %-escapes special characters in partition dir names, so a literal
+        `_run=<value>` path probe would miss e.g. a run id with ':'."""
+        from urllib.parse import unquote
+
+        fs, root = self.store._fs(self.store.path("extracted"))
+        if not fs.exists(root):
+            return
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("_run=") and unquote(name[5:]) == run_id:
+                fs.delete(st.getPath(), True)
 
     def stage_link(self) -> None:
         from importtoneo4j_spark.session import stage_persist, stage_unpersist
