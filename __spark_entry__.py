@@ -56,10 +56,17 @@ def kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # summation order. Verified: exceptAll == 0 in both directions vs the
     # round-5 form at sf1.0, and the DuckDB oracle gate still hash-matches.
     # Measured: 4.37 -> 3.33 s at sf1.0.
+    # Deliberate join strategy (guide §3.1, round 6): orders grows with the
+    # scale factor, and its file-size estimate sat under the broadcast
+    # threshold, so AQE built a megarow broadcast hash relation —
+    # single-threaded build, ~2x the whole query's cost at sf1.0 (measured
+    # 5.6 -> 2.5 s with sort-merge). SMJ is also the only strategy that is
+    # safe when orders is 100x bigger; the genuinely small sides (part,
+    # customer) keep their AQE broadcasts.
     t = _load(spark, sf_dir, "customer", "orders", "lineitem", "part")
     pre = (
         t["lineitem"]
-        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["orders"].hint("merge"), t["lineitem"].l_orderkey == t["orders"].o_orderkey)
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.col("o_custkey"),
@@ -143,7 +150,12 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment") == "BUILDING")
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        # merge hint on the LINEITEM side only (guide §3.1, round 6): the
+        # customer⋈orders join keeps its cheap 30k-row customer broadcast,
+        # while the big join stops broadcasting ~700k filtered orders rows
+        # (single-threaded build dominated the query: 3.78 -> 1.02 s at
+        # sf1.0; scale-safe — SMJ is the strategy a 100x lineitem needs)
+        .join(t["lineitem"].hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -174,7 +186,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        # merge hint: stop broadcasting the 1.5M-row orders build side
+        # (guide §3.1; 2.02 -> 1.41 s at sf1.0, scale-safe — see kg_flagship)
+        .join(t["orders"].hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
             # supplier grows with scale factor — AQE-chosen strategy, no hint
