@@ -46,13 +46,15 @@ MAX_BUCKET = 64  # cap candidates per LSH bucket (hot-key guard)
 def mention_vocabulary(extracted: DataFrame) -> DataFrame:
     """Distinct (surface, norm_key) over both mention positions.
 
-    The union of branch DataFrames mirrors the reference's branch merge
-    (VariantDatabase.java:201-221 hom/het branches -> one upsert path).
-    """
-    subj = extracted.select(F.col("subj_surface").alias("surface"))
-    obj = extracted.select(F.col("obj_surface").alias("surface"))
+    Round 6: ONE scan with a 2-element array explode instead of a union of
+    two per-position scans — the union read the extracted table twice (row-
+    identical output, exceptAll-checked; same branch-merge semantics as the
+    reference's hom/het merge, VariantDatabase.java:201-221, with the merge
+    done by explode instead of union)."""
     return (
-        subj.unionByName(obj)
+        extracted.select(
+            F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
+        )
         .distinct()
         .withColumn("norm_key", norm_key(F.col("surface")))
         .filter(F.col("norm_key") != "")

@@ -58,6 +58,15 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.session.timeZone", "UTC")
+        # collect_set/min(struct) aggregations plan as ObjectHashAggregate,
+        # which falls back to SORT-based aggregation once a task's hash map
+        # holds this many groups (default 128 — sized for wide buffers, not
+        # the small label-set/struct buffers this engine aggregates). 4096
+        # keeps the canonical-nodes aggregation hash-based at bench scale
+        # (measured 2.0 -> 1.6 s) while still bounding per-task memory to a
+        # few MB at ANY corpus size (the cap is per-map-task groups, not
+        # rows). Not a local[32]-only constant.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
