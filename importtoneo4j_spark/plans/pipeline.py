@@ -342,12 +342,25 @@ class KGPipeline:
             self.store.promote("same_as_next", "same_as_edges")
         else:
             extracted = self._extracted()
-            vocab = mention_vocabulary(extracted)
-            n_vocab = self._write_counted(vocab, "vocab")
-            # durable same_as + signature stores: what makes the NEXT
-            # append's re-link O(delta) (written once here, then rolled
-            # forward incrementally)
-            self.store.write(same_as_edges(extracted), "same_as_edges")
+            res: dict = {}
+
+            def _l_vocab() -> None:
+                res["n_vocab"] = self._write_counted(
+                    mention_vocabulary(extracted), "vocab"
+                )
+
+            def _l_same_as() -> None:
+                # durable same_as store: half of what makes the NEXT
+                # append's re-link O(delta) (written once here, then
+                # rolled forward incrementally)
+                self.store.write(same_as_edges(extracted), "same_as_edges")
+
+            # the two scans of the extracted table write disjoint tables —
+            # overlap them (guide §2.6)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [pool.submit(fn) for fn in (_l_vocab, _l_same_as)]:
+                    f.result()
+            n_vocab = res["n_vocab"]
             sig_box: list = []
             lsh = lsh_candidate_edges(
                 self.store.read("vocab"), persisted=lsh_state, sig_out=sig_box
