@@ -324,13 +324,23 @@ class KGPipeline:
                 )
             )
             lsh_state.extend([keys_all, sig_all])
-            self.store.write(sig_all, "link_sig_next")
-            self.store.write(
-                self.store.read("same_as_edges")
-                .unionByName(same_as_edges(delta_ext))
-                .distinct(),
-                "same_as_next",
-            )
+
+            def _al_sig() -> None:
+                self.store.write(sig_all, "link_sig_next")
+
+            def _al_same_as() -> None:
+                self.store.write(
+                    self.store.read("same_as_edges")
+                    .unionByName(same_as_edges(delta_ext))
+                    .distinct(),
+                    "same_as_next",
+                )
+
+            # disjoint staged outputs; both read only durable old tables
+            # (promotes happen after everything below) — overlap (guide §2.6)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [pool.submit(fn) for fn in (_al_sig, _al_same_as)]:
+                    f.result()
             edges = (
                 self.store.read("same_as_next")
                 .unionByName(edges_from_sig(sig_all, keys_all))
